@@ -1,0 +1,21 @@
+"""doc2tex_tpu — TPU-native image-to-LaTeX framework.
+
+A ground-up JAX/XLA/Pallas rebuild of the capabilities of the reference
+doc2tex framework (PyTorch image-to-LaTeX recognition + detection):
+
+- data building: LaTeX normalization/tokenization, rendering, vocab, LMDB
+- training: bucketed variable-size image batches, encoder/decoder models
+  assembled from YAML, bf16 + grad-accum + cosine LR + best-metric ckpts
+- inference/eval: fully on-device greedy and batched beam decode
+  (lax.scan + KV caches), token metrics and image-render metrics
+- demo: math detection (SSD) + per-crop recognition
+
+Design stance (TPU-first, not a port):
+- all hot compute is jit-compiled XLA: static bucket shape table instead of
+  dynamic per-image shapes; decoding is `lax.scan` on device instead of
+  per-token Python loops with host sync
+- batch-axis sharding over a `jax.sharding.Mesh` for multi-chip scaling
+- bf16 matmuls with f32 layernorm/softmax
+"""
+
+__version__ = "0.1.0"

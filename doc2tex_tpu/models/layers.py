@@ -1,0 +1,173 @@
+"""Common layers: ViT blocks, positional encodings, small modules.
+
+Parity targets in the reference:
+- ViT core (Mlp/Attention/Block):
+  ``doc2tex/modules/component/seq_modeling/vit/vision_transformer.py:9-122``
+- 2D sin-cos pos embed: ``doc2tex/modules/component/common/mae_posembed.py:20-70``
+- WordPosEnc: ``.../prediction_head/addon_module/position_encoding.py:7-28``
+- DropPath: ``doc2tex/modules/component/common/droppath.py:6-40``
+- GatedSum: ``doc2tex/modules/component/common/gated_sum.py:4-36``
+
+TPU notes: attention/layernorm accumulate in f32; matmuls run in the
+configured compute dtype (bf16 by default) so they land on the MXU.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+Dtype = Any
+
+# truncated-normal(std=0.02) — matches reference trunc_normal_ init
+# (vit/utils.py:6-61)
+trunc_init = nn.initializers.truncated_normal(stddev=0.02)
+
+
+def sincos_2d_posembed(
+    embed_dim: int, grid_h: int, grid_w: int, cls_token: bool = True
+) -> np.ndarray:
+    """Fixed 2D sin-cos positional embedding (reference mae_posembed.py:20-70).
+
+    Returns float32 (grid_h*grid_w [+1], embed_dim); the cls row is zeros.
+    """
+    assert embed_dim % 4 == 0
+    gh = np.arange(grid_h, dtype=np.float32)
+    gw = np.arange(grid_w, dtype=np.float32)
+    grid = np.meshgrid(gw, gh)  # w goes first, like the reference
+    grid = np.stack(grid, axis=0).reshape(2, grid_h, grid_w)
+
+    def emb_1d(pos: np.ndarray, dim: int) -> np.ndarray:
+        omega = np.arange(dim // 2, dtype=np.float32) / (dim / 2.0)
+        omega = 1.0 / 10000**omega
+        out = np.einsum("m,d->md", pos.reshape(-1), omega)
+        return np.concatenate([np.sin(out), np.cos(out)], axis=1)
+
+    emb_h = emb_1d(grid[0], embed_dim // 2)
+    emb_w = emb_1d(grid[1], embed_dim // 2)
+    emb = np.concatenate([emb_h, emb_w], axis=1)
+    if cls_token:
+        emb = np.concatenate([np.zeros((1, embed_dim), np.float32), emb], axis=0)
+    return emb
+
+
+def word_posenc(max_len: int, d_model: int) -> np.ndarray:
+    """Decoder-side 1D sin-cos PE (reference position_encoding.py:7-28)."""
+    pos = np.arange(max_len, dtype=np.float32)[:, None]
+    dim = np.arange(0, d_model, 2, dtype=np.float32)
+    div = np.exp(-np.log(10000.0) * dim / d_model)
+    pe = np.zeros((max_len, d_model), np.float32)
+    pe[:, 0::2] = np.sin(pos * div)
+    pe[:, 1::2] = np.cos(pos * div)
+    return pe
+
+
+class Mlp(nn.Module):
+    hidden_features: int
+    out_features: int
+    drop: float = 0.0
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        x = nn.Dense(self.hidden_features, dtype=self.dtype, kernel_init=trunc_init)(x)
+        x = nn.gelu(x)
+        x = nn.Dropout(self.drop)(x, deterministic=deterministic)
+        x = nn.Dense(self.out_features, dtype=self.dtype, kernel_init=trunc_init)(x)
+        x = nn.Dropout(self.drop)(x, deterministic=deterministic)
+        return x
+
+
+class SelfAttention(nn.Module):
+    """Fused-qkv multi-head self-attention (reference vision_transformer.py:40-81).
+
+    Softmax in f32; qk/av matmuls in compute dtype for the MXU.
+    """
+
+    dim: int
+    num_heads: int
+    qkv_bias: bool = True
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        B, N, C = x.shape
+        head_dim = self.dim // self.num_heads
+        scale = head_dim**-0.5
+        qkv = nn.Dense(
+            self.dim * 3,
+            use_bias=self.qkv_bias,
+            dtype=self.dtype,
+            kernel_init=trunc_init,
+        )(x)
+        qkv = qkv.reshape(B, N, 3, self.num_heads, head_dim)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, H, hd)
+        attn = jnp.einsum("bnhd,bmhd->bhnm", q, k) * scale
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
+        attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
+        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(B, N, C)
+        out = nn.Dense(self.dim, dtype=self.dtype, kernel_init=trunc_init)(out)
+        out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
+        return out
+
+
+class DropPath(nn.Module):
+    """Stochastic depth (reference droppath.py:6-40)."""
+
+    rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        if self.rate == 0.0 or deterministic:
+            return x
+        keep = 1.0 - self.rate
+        rng = self.make_rng("dropout")
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jax.random.bernoulli(rng, keep, shape)
+        return jnp.where(mask, x / keep, 0.0)
+
+
+class Block(nn.Module):
+    """Pre-LN transformer block (reference vision_transformer.py:84-122)."""
+
+    dim: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    drop: float = 0.0
+    attn_drop: float = 0.0
+    drop_path: float = 0.0
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32)(x)
+        h = SelfAttention(
+            self.dim,
+            self.num_heads,
+            attn_drop=self.attn_drop,
+            proj_drop=self.drop,
+            dtype=self.dtype,
+        )(h, deterministic)
+        x = x + DropPath(self.drop_path)(h, deterministic)
+        h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32)(x)
+        h = Mlp(
+            int(self.dim * self.mlp_ratio), self.dim, drop=self.drop, dtype=self.dtype
+        )(h, deterministic)
+        x = x + DropPath(self.drop_path)(h, deterministic)
+        return x
+
+
+class GatedSum(nn.Module):
+    """Sigmoid-gated blend of two tensors (reference gated_sum.py:4-36)."""
+
+    @nn.compact
+    def __call__(self, a, b):
+        gate = nn.Dense(1)(jnp.concatenate([a, b], axis=-1))
+        g = jax.nn.sigmoid(gate)
+        return g * a + (1.0 - g) * b

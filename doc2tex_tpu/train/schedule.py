@@ -1,0 +1,48 @@
+"""LR schedule: warmup -> half-cycle cosine.
+
+Parity target: reference ``adjust_learning_rate``
+(``doc2tex/utils/model_utils.py:99-117``) driven per-step with fractional
+"epoch" = (real_step / valInterval) and total epochs = num_iter /
+(accum_grad * valInterval) (``doc2tex/engine/training.py:150-162``).
+
+Exposed as an optax-compatible ``step -> lr`` callable so the whole update
+stays inside the jitted train step.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def warmup_cosine_schedule(
+    base_lr: float,
+    min_lr: float,
+    warmup_epochs: float,
+    total_epochs: float,
+    steps_per_epoch: int,
+):
+    """Returns f(step) -> lr replicating the reference's per-step math."""
+
+    def schedule(step):
+        epoch = step / steps_per_epoch
+        warm = base_lr * epoch / jnp.maximum(warmup_epochs, 1e-8)
+        denom = jnp.maximum(total_epochs - warmup_epochs, 1e-8)
+        cos = min_lr + (base_lr - min_lr) * 0.5 * (
+            1.0 + jnp.cos(jnp.pi * (epoch - warmup_epochs) / denom)
+        )
+        return jnp.where(epoch < warmup_epochs, warm, cos)
+
+    return schedule
+
+
+def schedule_from_config(config):
+    steps_per_epoch = config["valInterval"]
+    accum = config.get("accum_grad", 1)
+    total_epochs = (config["num_iter"] // accum) // config["valInterval"]
+    return warmup_cosine_schedule(
+        base_lr=config["optimizer"]["lr"],
+        min_lr=config["min_lr"],
+        warmup_epochs=config["warmup_epochs"],
+        total_epochs=total_epochs,
+        steps_per_epoch=steps_per_epoch,
+    )
