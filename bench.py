@@ -1,0 +1,120 @@
+"""Headline bench: batched beam-5 decode throughput on one chip.
+
+Workload (kept in sync with tools/measure_torch_baseline.py, which produced
+tools/baseline_measured.json by running the PyTorch reference IN PLACE on
+CPU): flagship test.yaml architecture (ResNet-hybrid ViT 256x6 encoder +
+AttentionV2 coverage-LSTM decoder), random weights (so both sides decode the
+full max_len steps — no early exit), 64x320 grayscale formula images,
+max_len 150, beam 5.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "images/sec", "vs_baseline": N}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+BENCH_H, BENCH_W = 64, 320
+BENCH_MAX_LEN = 150
+BENCH_BEAM = 5
+BATCH = 32
+N_ITERS = 8
+FALLBACK_BASELINE_IPS = 0.9476  # reference CPU beam5 (tools/baseline_measured.json)
+
+
+def main() -> None:
+    import jax
+
+    from __graft_entry__ import _flagship_config
+    from doc2tex_tpu.data.synthetic import synth_sample
+    from doc2tex_tpu.decode.runner import make_decode_fn
+    from doc2tex_tpu.models import build_model
+    from doc2tex_tpu.tokenizer.converters import AttnLabelConverter
+    from doc2tex_tpu.train.trainer import init_model, param_count
+
+    cfg = _flagship_config(tiny=False)
+    cfg["batch_max_length"] = BENCH_MAX_LEN
+    conv = AttnLabelConverter(cfg["character"])
+    model = build_model(cfg, conv.num_classes)
+
+    params, batch_stats = init_model(
+        model, jax.random.PRNGKey(0), (BATCH, BENCH_H, BENCH_W, 1), BENCH_MAX_LEN + 1
+    )
+    variables = {"params": params, "batch_stats": batch_stats}
+    print(
+        f"model: {param_count(params)/1e6:.1f}M params on {jax.devices()[0].platform}",
+        file=sys.stderr,
+    )
+
+    rng = np.random.default_rng(0)
+    batch = np.full((BATCH, BENCH_H, BENCH_W, 1), 255, np.uint8)
+    for i in range(BATCH):
+        img, _ = synth_sample(rng)
+        h, w = min(img.shape[0], BENCH_H), min(img.shape[1], BENCH_W)
+        batch[i, :h, :w, 0] = img[:h, :w]
+    batch = jax.device_put(batch)
+
+    import jax.numpy as jnp
+
+    decode_inner = make_decode_fn(
+        model, cfg, beam_size=BENCH_BEAM, max_steps=BENCH_MAX_LEN + 1, jit=False
+    )
+
+    # The device tunnel used in some test rigs has ~0.4s host<->device
+    # round-trip latency, so per-call host syncs would swamp the measurement.
+    # Chain N_ITERS decodes inside ONE jitted fori_loop with a data
+    # dependency (prevents hoisting), sync once, subtract the measured RTT.
+    @jax.jit
+    def bench_n(variables, images, iters):
+        def body(i, carry):
+            perturbed = images.astype(jnp.int32) + (carry % 2)
+            tokens, _ = decode_inner(variables, perturbed.astype(jnp.uint8))
+            return jnp.sum(tokens).astype(jnp.int32)
+
+        return jax.lax.fori_loop(0, iters, body, jnp.int32(0))
+
+    t0 = time.perf_counter()
+    _ = int(bench_n(variables, batch, 1))
+    compile_s = time.perf_counter() - t0
+    print(f"compile+first run: {compile_s:.1f}s", file=sys.stderr)
+
+    # measure host round-trip on a trivial synced op
+    t0 = time.perf_counter()
+    for _ in range(3):
+        _ = int(bench_n(variables, batch, 0))
+    rtt = (time.perf_counter() - t0) / 3
+    print(f"host round-trip: {rtt*1000:.0f}ms", file=sys.stderr)
+
+    t0 = time.perf_counter()
+    _ = int(bench_n(variables, batch, N_ITERS))
+    dt = max(time.perf_counter() - t0 - rtt, 1e-6)
+    ips = BATCH * N_ITERS / dt
+    print(f"{dt/N_ITERS*1000:.1f} ms/batch of {BATCH}", file=sys.stderr)
+
+    baseline = FALLBACK_BASELINE_IPS
+    path = os.path.join(os.path.dirname(__file__), "tools", "baseline_measured.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            baseline = json.load(f)["results"][f"beam{BENCH_BEAM}"]["images_per_sec"]
+
+    print(
+        json.dumps(
+            {
+                "metric": "IM2LATEX-synth images/sec/chip, beam=5, 64x320, max_len=150",
+                "value": round(ips, 3),
+                "unit": "images/sec",
+                "vs_baseline": round(ips / baseline, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,91 @@
+"""High-level jitted inference pipelines: images -> token ids.
+
+This is the TPU-native replacement for the reference's per-image eval loop
+(``api/infer.py:73-267``): normalize + encode + autoregressive decode run
+as ONE compiled XLA program per (bucket shape, batch size, beam) triple,
+batched over images — where the reference is restricted to batch-1 beams
+with per-step host syncs (``tfm.py:169-171``, ``seq2seq.py:89``).
+
+Special-token ids differ per converter family (reference
+``attn_converter.py:8-17`` vs ``tfm_converter.py:8-18``):
+  Attn: GO=0 (doubles as pad), s=1, UNK=2
+  TFM : PAD=0, GO=1, s=2
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..transforms.augment import normalize
+from .beam import beam_decode, lstm_gather, tfm_gather
+from .greedy import greedy_decode
+
+
+class TokenIds(NamedTuple):
+    start: int
+    end: int
+    pad: int
+
+
+def token_ids_for(pred_name: str) -> TokenIds:
+    if pred_name.startswith("Attn"):
+        return TokenIds(start=0, end=1, pad=0)
+    return TokenIds(start=1, end=2, pad=0)  # TFM family
+
+
+def make_decode_fn(
+    model,
+    config,
+    beam_size: int = 1,
+    max_steps: int | None = None,
+    jit: bool = True,
+) -> Callable:
+    """Build ``fn(variables, images_u8) -> (tokens (B, T), aux (B,))``.
+
+    ``images_u8``: (B, H, W, 1) uint8 bucket-padded pixels; normalization
+    (reference ``Math_Transform`` eval path, ``engine/inferencing.py:53-56``)
+    is fused into the same program.  ``aux`` is lengths for greedy, scores
+    for beam.
+    """
+    pred_name = config["Prediction"]["name"]
+    ids = token_ids_for(pred_name)
+    mean, std = config.get("mean", 0.5), config.get("std", 0.5)
+    if max_steps is None:
+        max_steps = config["batch_max_length"] + 1
+    is_tfm_head = pred_name in ("TFM", "MS_TFM")
+    gather = tfm_gather if is_tfm_head else lstm_gather
+
+    def run(variables, images):
+        x = images.astype(jnp.float32)
+        if x.ndim == 3:
+            x = x[..., None]
+        x = normalize(x / 255.0, mean=mean, std=std)
+        B = x.shape[0]
+
+        enc = model.apply(variables, x, method="encode")
+
+        def step(state, tokens):
+            return model.apply(variables, state, tokens, method="decode_step")
+
+        if beam_size <= 1:
+            state = model.apply(
+                variables, enc, max_steps, method="init_decode_state"
+            )
+            return greedy_decode(
+                step, state, B, max_steps,
+                start_token=ids.start, end_token=ids.end, pad_token=ids.pad,
+            )
+
+        enc_k = jnp.repeat(enc, beam_size, axis=0)  # (B*K, S, D)
+        state = model.apply(
+            variables, enc_k, max_steps, method="init_decode_state"
+        )
+        return beam_decode(
+            step, state, gather, B, beam_size, max_steps,
+            start_token=ids.start, end_token=ids.end, pad_token=ids.pad,
+        )
+
+    return jax.jit(run) if jit else run

@@ -208,5 +208,8 @@ class LSTMAttentionDecoder(nn.Module):
         # the stacked logits is distributionally identical and keeps the
         # scan body rng-free.
         if train and self.droprate > 0.0:
-            logits = nn.Dropout(self.droprate)(logits, deterministic=False)
+            rng = self.make_rng("dropout")
+            keep = 1.0 - self.droprate
+            m = jax.random.bernoulli(rng, keep, logits.shape)
+            logits = jnp.where(m, logits / keep, 0.0)
         return logits
