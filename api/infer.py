@@ -1,0 +1,166 @@
+"""Inference / evaluation CLI — reference ``api/infer.py:270-415`` surface.
+
+Evaluates a model over (a) a CSV manifest + image dir (reference
+``TestDatasetSingle``), (b) an LMDB split (``eval_data`` in the config), or
+(c) synthetic data (``synthetic_data: N``), reporting exact match, BLEU-4,
+char/word NED, timing and memory — and optionally a per-sample CSV.
+
+TPU-native: images are grouped into the static bucket ladder and decoded in
+batches fully on device (greedy or beam from ``beam_size``), instead of the
+reference's batch-1 Python loops.
+
+Usage:
+    python api/infer.py --config config/test.yaml --data_dir imgs/ \
+        --csv_dir labels.csv --log_path out/ --batch_size 32
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import numpy as np
+
+
+def load_csv_dataset(csv_dir: str, data_dir: str, config):
+    """CSV manifest (id<TAB>label) + image dir -> ArrayDataset with
+    inference-time resize (reference ``TestDatasetSingle`` api/infer.py:29-70
+    + ``resize`` predict_utils.py:14-115)."""
+    from PIL import Image
+
+    from doc2tex_tpu.data.loader import ArrayDataset
+    from doc2tex_tpu.transforms.preprocess import resize_for_inference
+
+    images, labels, names = [], [], []
+    with open(csv_dir, newline="") as f:
+        reader = csv.reader(f, delimiter="\t")
+        rows = [r for r in reader if len(r) >= 2]
+    if rows and rows[0][0].lower() in ("id", "image", "name"):
+        rows = rows[1:]
+    for name, label in ((r[0], r[1]) for r in rows):
+        path = os.path.join(data_dir, name)
+        if not os.path.exists(path):
+            continue
+        img = np.asarray(Image.open(path).convert("L"), np.uint8)
+        images.append(resize_for_inference(img, config))
+        labels.append(label)
+        names.append(name)
+    return ArrayDataset(images, labels, names)
+
+
+def run_infer(config, dataset, log_path: str | None = None) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from doc2tex_tpu.data.loader import BucketLoader
+    from doc2tex_tpu.decode.runner import make_decode_fn
+    from doc2tex_tpu.engine.inferencing import validation
+    from doc2tex_tpu.models import build_model
+    from doc2tex_tpu.tokenizer.converters import create_converter
+    from doc2tex_tpu.train.checkpoint import load_pretrained_params
+    from doc2tex_tpu.train.trainer import init_model, param_count
+
+    converter = create_converter(config)
+    config["num_class"] = converter.num_classes
+    model = build_model(config, converter.num_classes)
+
+    h0, w0 = config["min_dimension"]
+    params, batch_stats = init_model(
+        model, jax.random.PRNGKey(0),
+        (config["batch_size"], h0, w0, 1), config["batch_max_length"] + 1,
+    )
+    if config.get("saved_model"):
+        params, info = load_pretrained_params(config["saved_model"], params)
+        print(f"loaded weights: {info}")
+
+    loader = BucketLoader(dataset, converter, config, train=False)
+
+    class _State:
+        pass
+
+    state = _State()
+    state.params = params
+    state.batch_stats = batch_stats
+
+    beam = int(config.get("beam_size", 1))
+    t0 = time.time()
+    result = validation(
+        model, state, converter, loader, config,
+        eval_step=None, beam_size=beam,
+        export_csv=(os.path.join(log_path, "predictions.csv") if log_path else None),
+    )
+    elapsed = time.time() - t0
+    n = max(result["n_samples"], 1)
+    result["total_time_s"] = elapsed
+    result["avg_infer_time_s"] = elapsed / n
+    result["images_per_sec"] = n / elapsed
+    result["params_M"] = param_count(params) / 1e6
+    try:
+        import resource
+
+        result["peak_mem_mb"] = (
+            resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
+        )
+    except Exception:
+        pass
+    return result
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", required=True)
+    parser.add_argument("--csv_dir", default=None, help="CSV manifest (id\\tlabel)")
+    parser.add_argument("--data_dir", default=None, help="Image folder")
+    parser.add_argument("--log_path", default=None)
+    parser.add_argument("--batch_size", type=int, default=32)
+    parser.add_argument("--beam_size", type=int, default=None)
+    parser.add_argument("--start_idx", type=int, default=0)
+    parser.add_argument("--num_workers", type=int, default=-1)
+    parser.add_argument("--strong_log", action="store_true", default=False)
+    parser.add_argument("--amp", type=bool, default=False)
+    parser.add_argument("--resizer", action="store_true", default=False)
+    args = parser.parse_args()
+
+    from doc2tex_tpu.config import load_config
+    from doc2tex_tpu.data.loader import ArrayDataset, LmdbDataset
+
+    config = load_config(args.config)
+    config["batch_size"] = args.batch_size
+    if args.beam_size is not None:
+        config["beam_size"] = args.beam_size
+
+    if args.csv_dir and args.data_dir:
+        dataset = load_csv_dataset(args.csv_dir, args.data_dir, config)
+    elif config.get("eval_data") and os.path.isdir(config["eval_data"]):
+        dataset = LmdbDataset(config["eval_data"], rgb=config.get("rgb", False))
+    elif config.get("synthetic_data"):
+        from doc2tex_tpu.data.synthetic import synth_dataset
+
+        images, labels = synth_dataset(int(config["synthetic_data"]), seed=7)
+        dataset = ArrayDataset(images, labels)
+    else:
+        parser.error("need --csv_dir/--data_dir, or eval_data/synthetic_data in config")
+
+    if args.log_path:
+        os.makedirs(args.log_path, exist_ok=True)
+    result = run_infer(config, dataset, args.log_path)
+
+    print(f"samples:        {result['n_samples']}")
+    print(f"exact match:    {result['accuracy']:.4f}")
+    print(f"BLEU-4:         {result['bleu']:.4f}")
+    print(f"char NED match: {result['ED']:.4f}")
+    print(f"word NED match: {result['word_ED']:.4f}")
+    print(f"images/sec:     {result['images_per_sec']:.2f}")
+    print(f"avg time/image: {result['avg_infer_time_s']*1000:.1f} ms")
+    if "peak_mem_mb" in result:
+        print(f"peak mem:       {result['peak_mem_mb']:.0f} MB")
+
+
+if __name__ == "__main__":
+    main()

@@ -24,8 +24,8 @@ import numpy as np
 BENCH_H, BENCH_W = 64, 320
 BENCH_MAX_LEN = 150
 BENCH_BEAM = 5
-BATCH = 32
-N_ITERS = 8
+BATCH = 128
+N_ITERS = 6
 FALLBACK_BASELINE_IPS = 0.9476  # reference CPU beam5 (tools/baseline_measured.json)
 
 
@@ -63,40 +63,39 @@ def main() -> None:
 
     import jax.numpy as jnp
 
-    decode_inner = make_decode_fn(
-        model, cfg, beam_size=BENCH_BEAM, max_steps=BENCH_MAX_LEN + 1, jit=False
+    decode = make_decode_fn(
+        model, cfg, beam_size=BENCH_BEAM, max_steps=BENCH_MAX_LEN + 1
     )
 
-    # The device tunnel used in some test rigs has ~0.4s host<->device
-    # round-trip latency, so per-call host syncs would swamp the measurement.
-    # Chain N_ITERS decodes inside ONE jitted fori_loop with a data
-    # dependency (prevents hoisting), sync once, subtract the measured RTT.
-    @jax.jit
-    def bench_n(variables, images, iters):
-        def body(i, carry):
-            perturbed = images.astype(jnp.int32) + (carry % 2)
-            tokens, _ = decode_inner(variables, perturbed.astype(jnp.uint8))
-            return jnp.sum(tokens).astype(jnp.int32)
-
-        return jax.lax.fori_loop(0, iters, body, jnp.int32(0))
+    def run_once(images):
+        """One synced decode: scalar readback forces true completion (the
+        device tunnel's block_until_ready is unreliable)."""
+        tokens, _ = decode(variables, images)
+        return int(tokens[0, 0]) + int(tokens[-1, -1])
 
     t0 = time.perf_counter()
-    _ = int(bench_n(variables, batch, 1))
+    run_once(batch)
     compile_s = time.perf_counter() - t0
     print(f"compile+first run: {compile_s:.1f}s", file=sys.stderr)
 
-    # measure host round-trip on a trivial synced op
+    # host round-trip latency on a trivial synced op (subtracted below)
+    tiny = jax.jit(lambda x: jnp.sum(x[:1, :1, :1]))
+    _ = int(tiny(batch))
     t0 = time.perf_counter()
-    for _ in range(3):
-        _ = int(bench_n(variables, batch, 0))
-    rtt = (time.perf_counter() - t0) / 3
+    for _ in range(5):
+        _ = int(tiny(batch))
+    rtt = (time.perf_counter() - t0) / 5
     print(f"host round-trip: {rtt*1000:.0f}ms", file=sys.stderr)
 
-    t0 = time.perf_counter()
-    _ = int(bench_n(variables, batch, N_ITERS))
-    dt = max(time.perf_counter() - t0 - rtt, 1e-6)
-    ips = BATCH * N_ITERS / dt
-    print(f"{dt/N_ITERS*1000:.1f} ms/batch of {BATCH}", file=sys.stderr)
+    times = []
+    for _ in range(N_ITERS):
+        t0 = time.perf_counter()
+        run_once(batch)
+        # two scalar readbacks in run_once ~= 2 RTTs of overhead
+        times.append(max(time.perf_counter() - t0 - 2 * rtt, 1e-6))
+    dt = min(times)  # min = least tunnel noise
+    ips = BATCH / dt
+    print(f"{dt*1000:.1f} ms/batch of {BATCH}", file=sys.stderr)
 
     baseline = FALLBACK_BASELINE_IPS
     path = os.path.join(os.path.dirname(__file__), "tools", "baseline_measured.json")

@@ -1,0 +1,110 @@
+"""Validation: teacher-forced loss + on-device greedy decode + token metrics.
+
+Parity target: reference ``validation_step`` / ``validation``
+(``doc2tex/engine/inferencing.py:12-131``, ``doc2tex/engine/
+training.py:167-320``): per-batch loss, decode, exact-match accuracy,
+char/word NED, corpus BLEU, worst-predictions list, optional CSV export.
+
+TPU-native: decode is the batched jitted greedy pipeline (one program per
+bucket shape) instead of per-token Python loops.
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+from typing import Any, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..decode.runner import make_decode_fn
+from ..eval.metrics import bleu_score, get_single_ED, get_word_NED
+from ..utils import Averager
+
+
+def _strip(pred_tokens: list[str]) -> str:
+    return " ".join(pred_tokens)
+
+
+def validation(
+    model,
+    state,
+    converter,
+    loader,
+    config,
+    eval_step=None,
+    max_batches: Optional[int] = None,
+    beam_size: int = 1,
+    export_csv: Optional[str] = None,
+) -> dict[str, Any]:
+    """Run the full validation pass; returns the metric dict."""
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    decode_fn = make_decode_fn(model, config, beam_size=beam_size)
+    token_level = config.get("token_level", "word")
+
+    loss_avg = Averager()
+    n = 0
+    correct = 0
+    ned_sum = 0.0
+    preds_all: list[str] = []
+    gts_all: list[str] = []
+    names_all: list[str] = []
+    worst: list[tuple[float, str, str, str]] = []
+
+    for bi, batch in enumerate(loader):
+        if max_batches is not None and bi >= max_batches:
+            break
+        images = jnp.asarray(batch.images)
+        text = jnp.asarray(batch.text)
+        if eval_step is not None:
+            em = eval_step(state, images, text)
+            loss_avg.add(float(em["loss"]), len(batch.labels))
+            per_sample = np.asarray(em["per_sample_loss"])
+        else:
+            per_sample = np.zeros(len(batch.labels))
+
+        out = decode_fn(variables, images)
+        tokens = np.asarray(out[0])
+        pred_tokens = converter.detokenize(tokens)
+        sep = " " if token_level == "word" else ""
+        preds = [sep.join(t) for t in pred_tokens]
+
+        for p, gt, name, ls in zip(preds, batch.labels, batch.names, per_sample):
+            n += 1
+            if p == gt:
+                correct += 1
+            ned_sum += get_single_ED(gt, p)  # higher = better match score
+            preds_all.append(p)
+            gts_all.append(gt)
+            names_all.append(name)
+            worst.append((float(ls), name, gt, p))
+
+    worst.sort(key=lambda t: -t[0])
+    worst_lines = [
+        f"loss={ls:.3f} [{nm}] gt={gt[:60]!r} pred={p[:60]!r}"
+        for ls, nm, gt, p in worst[:10]
+    ]
+
+    bleu = bleu_score(
+        [p.split() for p in preds_all], [[g.split()] for g in gts_all]
+    ) if preds_all else 0.0
+    word_ed = get_word_NED(preds_all, gts_all) if preds_all else 0.0
+
+    if export_csv:
+        os.makedirs(os.path.dirname(export_csv) or ".", exist_ok=True)
+        with open(export_csv, "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(["name", "gold", "pred"])
+            for nm, g, p in zip(names_all, gts_all, preds_all):
+                w.writerow([nm, g, p])
+
+    return {
+        "loss": loss_avg.val(),
+        "accuracy": correct / n if n else 0.0,
+        "bleu": float(bleu),
+        "ED": ned_sum / n if n else 0.0,  # char match score (higher=better)
+        "word_ED": float(word_ed),
+        "n_samples": n,
+        "worst": worst_lines,
+    }

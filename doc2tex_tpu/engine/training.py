@@ -1,0 +1,177 @@
+"""The training engine: init + iteration loop + validation/checkpoint cadence.
+
+Parity target: reference ``doc2tex/engine/training.py`` (``init_training``
+:20-92, ``train_one_step`` :94-165, ``validation`` :167-320) driven by the
+``api/train.py:21-110`` loop: infinite bucketed iterator, loss log every
+``logInterval``, validation + checkpoint every ``valInterval``, cosine LR,
+early stop by patience, ``sanity_check`` single-step mode.
+
+TPU-native: the train step is one compiled XLA program per bucket shape
+(augment+forward+loss+backward+optim fused; see ``train/trainer.py``);
+validation decodes greedily on device and computes token metrics on host.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..data.loader import build_loader
+from ..models import Model, build_model
+from ..tokenizer.converters import create_converter
+from ..train.checkpoint import (
+    BestCheckpointKeeper,
+    load_checkpoint,
+    load_pretrained_params,
+)
+from ..train.trainer import (
+    TrainState,
+    create_train_state,
+    criterion_from_config,
+    make_eval_step,
+    make_train_step,
+    param_count,
+)
+from ..utils import Averager, cal_elapsed_time, setup_logger, update_summary
+from .inferencing import validation
+
+
+@dataclass
+class TrainingBundle:
+    config: Config
+    converter: Any
+    model: Model
+    state: TrainState
+    tx: Any
+    criterion: Any
+    train_step: Any
+    eval_step: Any
+    start_iter: int
+
+
+def init_training(config, rng: Optional[jax.Array] = None) -> TrainingBundle:
+    """Build converter, model, state, optimizer, compiled steps
+    (reference ``engine/training.py:20-92``)."""
+    rng = rng if rng is not None else jax.random.PRNGKey(config.get("manualSeed", 1111))
+    converter = create_converter(config)
+    config["num_class"] = converter.num_classes
+    model = build_model(config, converter.num_classes)
+
+    # init with the smallest bucket shape; shapes are static per bucket anyway
+    h0, w0 = config["min_dimension"]
+    state, tx = create_train_state(
+        model, config, rng, (config["batch_size"], h0, w0, 1)
+    )
+    criterion = criterion_from_config(config)
+    start_iter = 0
+
+    if config.get("resume_path"):
+        state, meta = load_checkpoint(config["resume_path"], state)
+        start_iter = int(meta.get("iter", int(state.step)))
+    elif config.get("pretrained_weight"):
+        params, stats = load_pretrained_params(
+            config["pretrained_weight"], state.params
+        )
+        state = state._replace(params=params)
+
+    train_step = make_train_step(model, criterion, tx, config)
+    eval_step = make_eval_step(model, criterion, config)
+    return TrainingBundle(
+        config, converter, model, state, tx, criterion, train_step, eval_step,
+        start_iter,
+    )
+
+
+def train(config, log_dir: str = "saved_models/run") -> dict:
+    """Full training loop (reference ``api/train.py:21-110``).
+
+    Returns the final metric dict (for tests / sanity checks).
+    """
+    logger = setup_logger(log_dir)
+    b = init_training(config)
+    logger.info(
+        f"model: {param_count(b.state.params)/1e6:.2f}M params, "
+        f"num_class={b.converter.num_classes}"
+    )
+    # config dump (reference engine/training.py:64-71)
+    with open(os.path.join(log_dir, "config.txt"), "w") as f:
+        f.write(repr(dict(config)))
+
+    train_loader, valid_loader = build_loader(
+        config, b.converter, seed=config.get("manualSeed", 1111)
+    )
+    logger.info(
+        f"train: {train_loader.num_samples} samples in {len(train_loader.table)}-"
+        f"shape ladder, {train_loader.batches_per_epoch()} batches/epoch; "
+        f"valid: {valid_loader.num_samples}"
+    )
+
+    keeper = BestCheckpointKeeper(log_dir)
+    loss_avg = Averager()
+    state = b.state
+    rng = jax.random.PRNGKey(config.get("manualSeed", 1111) + 1)
+    num_iter = config["num_iter"]
+    val_interval = config["valInterval"]
+    log_interval = config.get("logInterval", 100)
+    early_stop = config.get("early_stop", num_iter)
+    sanity = config.get("sanity_check", False)
+
+    best_val_step = 0
+    last_metrics: dict = {}
+    t_start = time.time()
+    it = b.start_iter
+
+    data_iter = train_loader.infinite()
+    while it < num_iter:
+        batch = next(data_iter)
+        state, metrics = b.train_step(
+            state, jnp.asarray(batch.images), jnp.asarray(batch.text), rng
+        )
+        it += 1
+        loss_avg.add(float(metrics["loss"]))
+
+        if it % log_interval == 0 or sanity:
+            logger.info(
+                f"[{it}/{num_iter}] loss: {loss_avg.val():.5f} "
+                f"bucket: {batch.bucket} elapsed: "
+                f"{cal_elapsed_time(time.time() - t_start)}"
+            )
+            loss_avg.reset()
+
+        if it % val_interval == 0 or sanity or it == num_iter:
+            val = validation(
+                b.model, state, b.converter, valid_loader, config,
+                eval_step=b.eval_step, max_batches=(1 if sanity else None),
+            )
+            last_metrics = val
+            logger.info(
+                f"validation @ {it}: loss {val['loss']:.4f} "
+                f"acc {val['accuracy']:.4f} bleu {val['bleu']:.4f} "
+                f"ED {val['ED']:.4f} wordED {val['word_ED']:.4f}"
+            )
+            for line in val.get("worst", [])[:5]:
+                logger.info(f"  worst: {line}")
+            update_summary(
+                it,
+                {k: v for k, v in val.items() if isinstance(v, (int, float))},
+                os.path.join(log_dir, "summary.csv"),
+            )
+            saved = keeper.update(state, it, val)
+            if "best_bleu.msgpack" in saved or "best_accuracy.msgpack" in saved:
+                best_val_step = it
+            elif it - best_val_step >= early_stop:
+                logger.info(f"early stop at {it} (no improvement since {best_val_step})")
+                break
+
+        if sanity:
+            logger.info("sanity check complete")
+            break
+
+    return last_metrics

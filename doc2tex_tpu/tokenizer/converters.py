@@ -144,7 +144,15 @@ def create_converter(config, device=None):
     from .vocab import load_vocab
 
     if not config.get("character"):
-        config["character"] = load_vocab(config["vocab"])
+        vocab_path = config.get("vocab")
+        if vocab_path:
+            config["character"] = load_vocab(vocab_path)
+        elif config.get("synthetic_data"):
+            from ..data.synthetic import SYNTH_VOCAB
+
+            config["character"] = list(SYNTH_VOCAB)
+        else:
+            raise ValueError("config needs 'vocab' path or 'character' list")
     pred = config["Prediction"]["name"]
     if pred.startswith("Attn"):
         return AttnLabelConverter(config["character"])
