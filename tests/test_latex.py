@@ -1,0 +1,182 @@
+"""LaTeX pipeline tests: tokenizer (native vs Python twin), extract,
+demacro, postprocess, metrics kernels."""
+
+import numpy as np
+import pytest
+
+from doc2tex_tpu.latex import (
+    Postprocessing,
+    find_math,
+    normalize_formula,
+    pydemacro,
+    remove_redundant_array_env,
+    remove_redundant_bracket,
+    standardize_whitespace,
+)
+from doc2tex_tpu.latex.pytok import normalize_string as py_normalize
+
+CORPUS = [
+    r"x^2 + y_1 = \frac12",
+    r"\frac{a+b}{c} \cdot \sqrt[3]{x}",
+    r"{\rm Tr}\, M = \sum_{i=1}^{N} \lambda_i",
+    r"E = mc^2 \label{eq:emc}",
+    r"f'(x) = \lim_{h\to 0} \frac{f(x+h)-f(x)}{h}",
+    r"\left( \begin{array}{cc} a & b \\ c & d \end{array} \right)",
+    r"a \\ b",
+    r"\hat\alpha + \bar\beta + \vec x",
+    r"$\alpha$ % trailing comment",
+    r"\mathop{max}_{x} \medspace f(x)",
+    r"\lparen x \rparen \lang y \rang",
+    r"\operatorname*{argmin}_\theta L(\theta)",
+    r"x_i^2 y''",
+    r"\sqrt{\frac{1}{2}}",
+    r"\cal A \subset \Bbb R",
+]
+
+
+class TestTokenizerParity:
+    """The C++ and Python tokenizers must agree byte-for-byte."""
+
+    @pytest.mark.parametrize("line", CORPUS)
+    def test_native_matches_python(self, line):
+        try:
+            from doc2tex_tpu.native import latex_normalize
+        except Exception:
+            pytest.skip("native kernel not built")
+        for mode in ("tokenize", "normalize"):
+            assert latex_normalize(line, mode) == py_normalize(line, mode)
+
+
+class TestNormalization:
+    def test_subscript_bracing(self):
+        assert py_normalize("x_i^2") == "x _ { i } ^ { 2 }"
+
+    def test_frac_bracing(self):
+        assert py_normalize(r"\frac12") == r"\frac { 1 } { 2 }"
+
+    def test_font_switch(self):
+        assert py_normalize(r"{\rm abc}") == r"\mathrm { a b c }"
+        assert py_normalize(r"\cal A") == r"\mathcal { A }"
+
+    def test_label_removed(self):
+        assert "label" not in py_normalize(r"x \label{eq1} y")
+
+    def test_prime(self):
+        assert py_normalize("x'") == r"x ^ { \prime }"
+        assert py_normalize("x''") == r"x ^ { \prime \prime }"
+
+    def test_linebreak_flatten(self):
+        assert py_normalize(r"a \\ b") == r"a \, b"
+        # kept inside matrix envs
+        out = py_normalize(r"\begin{matrix} a \\ b \end{matrix}")
+        assert r"\\" in out
+
+    def test_env_single_token(self):
+        out = py_normalize(r"\begin{array}{cc} a \end{array}")
+        assert out.startswith(r"\begin{array} { c c }")
+
+    def test_spacing_rewrites(self):
+        assert py_normalize(r"a \medspace b") == r"a \, b"
+        assert py_normalize(r"\lparen x \rparen") == "( x )"
+
+    def test_full_pipeline(self):
+        out = normalize_formula(r"\sum_{i=1}^{N} x_i \quad = \; 1 + 2 + 3")
+        assert out is not None and "sum" in out
+
+    def test_skip_rules(self):
+        assert normalize_formula(r"\genfrac{a}{b}{c}{d}{e}{f} + x + y") is None
+
+
+class TestPostpass:
+    def test_empty_bracket_removed(self):
+        assert remove_redundant_bracket("a { } b".split()) == "a b"
+        assert remove_redundant_bracket("{ x }".split()) == "{ x }"
+
+    def test_whitespace_ladder(self):
+        # 1->1, 2->2, 3->2, 4->4, >=8 -> 4  (reference STANDARD_SPACE)
+        s3 = r"a \, \, \, b"
+        assert standardize_whitespace(s3).split().count("\\,") == 2
+        s9 = "a " + r"\, " * 9 + "b"
+        assert standardize_whitespace(s9).split().count("\\,") == 4
+        s1 = r"a \, b"
+        assert standardize_whitespace(s1).split().count("\\,") == 1
+
+    def test_array_flatten(self):
+        s = r"\begin{array} { c } { x + y } \end{array}"
+        assert remove_redundant_array_env(s) == "x + y"
+        # arrays with row breaks are kept
+        s2 = r"\begin{array} { c } { x } \\ { y } \end{array}"
+        assert r"\begin{array}" in remove_redundant_array_env(s2)
+
+    def test_bracket_balance(self):
+        # reference inserts the missing partner adjacent to the orphan
+        # (data_utils.py:368-396), then the result is balanced
+        for s in ("(a))", "((a)", ")a(", "((("):
+            out = Postprocessing.balance(s, "(", ")")
+            assert out.count("(") == out.count(")")
+        assert Postprocessing.balance("(a)", "(", ")") == "(a)"
+
+    def test_remove_unused_whitespace(self):
+        out = Postprocessing.remove_unused_whitespace("x ^ { 2 } + 1")
+        assert out == "x^{2}+1"
+
+
+class TestExtract:
+    def test_find_dollar_math(self):
+        doc = "text $$" + "x^2 + y^2 = z^2 + a + b + c + d" + "$$ more"
+        out = find_math(doc)
+        assert len(out) == 1 and "x^2" in out[0]
+
+    def test_find_equation_env(self):
+        doc = (
+            r"\begin{equation} \int_0^\infty e^{-x^2} dx = "
+            r"\frac{\sqrt{\pi}}{2} \end{equation}"
+        )
+        out = find_math(doc)
+        assert len(out) == 1
+
+    def test_unbalanced_rejected(self):
+        doc = "$$ { x + y + z + w + v + u + t + s + r $$"
+        assert find_math(doc) == []
+
+    def test_graphic_rejected(self):
+        doc = "$$ \\color{red} x + y + z + w + v + u + t $$"
+        assert find_math(doc) == []
+
+
+class TestDemacro:
+    def test_newcommand_noargs(self):
+        s = r"\newcommand{\R}{\mathbb{R}} f: \R \to \R"
+        out = pydemacro(s)
+        assert r"\mathbb{R}" in out and "newcommand" not in out
+
+    def test_newcommand_args(self):
+        s = r"\newcommand{\pd}[2]{\frac{\partial #1}{\partial #2}} \pd{f}{x}"
+        out = pydemacro(s)
+        assert r"\frac{\partial f}{\partial x}" in out
+
+    def test_def(self):
+        s = r"\def\eps{\varepsilon} \eps > 0"
+        assert r"\varepsilon" in pydemacro(s)
+
+
+class TestNativeLevenshtein:
+    def test_matches_python(self):
+        from doc2tex_tpu.eval.metrics import _lev_py
+
+        try:
+            from doc2tex_tpu.native import levenshtein
+        except Exception:
+            pytest.skip("native kernel not built")
+        rng = np.random.default_rng(0)
+        for _ in range(50):
+            a = "".join(rng.choice(list("abcdef")) for _ in range(rng.integers(0, 20)))
+            b = "".join(rng.choice(list("abcdef")) for _ in range(rng.integers(0, 20)))
+            assert levenshtein(a, b) == _lev_py(a, b)
+
+    def test_u64(self):
+        from doc2tex_tpu.native import levenshtein_u64
+
+        a = np.array([1, 2, 3, 4], np.uint64)
+        b = np.array([1, 3, 4], np.uint64)
+        assert levenshtein_u64(a, b) == 1
