@@ -1,0 +1,180 @@
+"""LaTeX -> PNG rendering via pdflatex/xelatex + ImageMagick.
+
+Parity target: reference ``Latex`` class + ``render_dataset`` driver
+(``doc2tex/tools/build_data/render_data/pdflatex2png.py:17-218``,
+``pdflatex_render.py:20-190``): batch many formulas into one
+``standalone``+``preview`` document, compile with
+``-interaction nonstopmode -file-line-error`` under a kill timer, map error
+line numbers back to formula indices so one bad formula doesn't kill the
+batch, then ImageMagick ``convert -density DPI`` to per-formula grayscale
+PNGs, with trim/invert/pad postprocessing.
+
+External binaries (pdflatex, convert) are probed at import; everything is
+gated so environments without TeX still import this module.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+import subprocess
+import tempfile
+from typing import Optional, Sequence
+
+import numpy as np
+
+PDFLATEX = shutil.which("pdflatex")
+XELATEX = shutil.which("xelatex")
+CONVERT = shutil.which("convert") or shutil.which("magick")
+HAS_TEX = PDFLATEX is not None and CONVERT is not None
+
+DOC_TEMPLATE = r"""\documentclass[preview]{standalone}
+\usepackage{amsmath}
+\usepackage{amssymb}
+\usepackage{amsfonts}
+\begin{document}
+%s
+\end{document}
+"""
+
+FORMULA_TEMPLATE = "$\\displaystyle\n%s\n$\n\\newpage\n"
+
+_ERR_LINE = re.compile(r"^.*?:(\d+):", re.M)
+
+
+class RenderError(RuntimeError):
+    pass
+
+
+def render_formulas(
+    formulas: Sequence[str],
+    out_dir: str,
+    names: Optional[Sequence[str]] = None,
+    dpi: int = 200,
+    timeout: float = 20.0,
+    engine: str = "pdflatex",
+) -> dict[int, str]:
+    """Render each formula to ``out_dir/<name>.png``.
+
+    Returns {formula_index: png_path} for the successes.  Failed formulas
+    (TeX errors, timeouts) are skipped — error line numbers from the TeX log
+    are mapped back to formula indices (reference pdflatex2png.py:117-131).
+    """
+    if not HAS_TEX:
+        raise RenderError("pdflatex/convert binaries not available")
+    os.makedirs(out_dir, exist_ok=True)
+    names = list(names) if names else [f"f{i:06d}" for i in range(len(formulas))]
+
+    with tempfile.TemporaryDirectory() as tmp:
+        body = "".join(FORMULA_TEMPLATE % f for f in formulas)
+        tex_path = os.path.join(tmp, "batch.tex")
+        with open(tex_path, "w") as f:
+            f.write(DOC_TEMPLATE % body)
+
+        binary = XELATEX if engine == "xelatex" else PDFLATEX
+        try:
+            proc = subprocess.run(
+                [binary, "-interaction", "nonstopmode", "-file-line-error",
+                 "-output-directory", tmp, tex_path],
+                capture_output=True,
+                timeout=timeout,
+                text=True,
+            )
+        except subprocess.TimeoutExpired:
+            raise RenderError(f"{engine} timed out after {timeout}s")
+
+        pdf_path = os.path.join(tmp, "batch.pdf")
+        if not os.path.exists(pdf_path):
+            raise RenderError(proc.stdout[-2000:] if proc.stdout else "no pdf")
+
+        # map TeX error lines -> formula indices (each formula spans a fixed
+        # number of source lines in the batch document)
+        bad: set[int] = set()
+        header_lines = DOC_TEMPLATE.split("%s")[0].count("\n")
+        lines_per_formula = FORMULA_TEMPLATE.count("\n") + 1
+        for m in _ERR_LINE.finditer(proc.stdout or ""):
+            line_no = int(m.group(1))
+            idx = (line_no - header_lines - 1) // lines_per_formula
+            if 0 <= idx < len(formulas):
+                bad.add(idx)
+
+        # one page per formula -> per-page PNG
+        png_tmpl = os.path.join(tmp, "page-%d.png")
+        try:
+            subprocess.run(
+                [CONVERT, "-density", str(dpi), pdf_path, "-colorspace",
+                 "gray", os.path.join(tmp, "page.png")],
+                capture_output=True,
+                timeout=max(timeout, 60),
+                check=True,
+            )
+        except (subprocess.TimeoutExpired, subprocess.CalledProcessError) as e:
+            raise RenderError(f"convert failed: {e}")
+
+        out: dict[int, str] = {}
+        pages = sorted(
+            (p for p in os.listdir(tmp) if p.startswith("page") and p.endswith(".png")),
+            key=lambda p: int(re.search(r"(\d+)", p).group(1)) if re.search(r"(\d+)", p) else 0,
+        )
+        if len(formulas) == 1 and os.path.exists(os.path.join(tmp, "page.png")):
+            pages = ["page.png"]
+        for idx, page in enumerate(pages[: len(formulas)]):
+            if idx in bad:
+                continue
+            dst = os.path.join(out_dir, names[idx] + ".png")
+            img = postprocess_render(os.path.join(tmp, page))
+            if img is None:
+                continue
+            from PIL import Image
+
+            Image.fromarray(img).save(dst)
+            out[idx] = dst
+        return out
+
+
+def postprocess_render(
+    png_path: str, pad: int = 8, max_side: int = 4096
+) -> Optional[np.ndarray]:
+    """Trim white border + white pad (reference pdflatex_render.py:125-169
+    trim/invert/pad postprocess, minus the invert which the data layer does
+    not expect)."""
+    from PIL import Image
+
+    img = np.asarray(Image.open(png_path).convert("L"), np.uint8)
+    mask = img < 255
+    rows = np.flatnonzero(mask.any(axis=1))
+    cols = np.flatnonzero(mask.any(axis=0))
+    if rows.size == 0 or cols.size == 0:
+        return None
+    img = img[rows[0] : rows[-1] + 1, cols[0] : cols[-1] + 1]
+    if max(img.shape) > max_side:
+        return None
+    return np.pad(img, pad, constant_values=255)
+
+
+def render_dataset(
+    formulas: Sequence[str],
+    out_dir: str,
+    batch_size: int = 100,
+    **kwargs,
+) -> dict[int, str]:
+    """Batched driver with per-batch error recovery
+    (reference render_dataset pdflatex_render.py:20-190)."""
+    results: dict[int, str] = {}
+    for start in range(0, len(formulas), batch_size):
+        chunk = formulas[start : start + batch_size]
+        names = [f"f{start + i:06d}" for i in range(len(chunk))]
+        try:
+            got = render_formulas(chunk, out_dir, names=names, **kwargs)
+        except RenderError:
+            # fall back to one-by-one so a bad formula only loses itself
+            got = {}
+            for i, f in enumerate(chunk):
+                try:
+                    one = render_formulas([f], out_dir, names=[names[i]], **kwargs)
+                    got.update({i: p for _, p in one.items()})
+                except RenderError:
+                    continue
+        results.update({start + i: p for i, p in got.items()})
+    return results
