@@ -1,0 +1,114 @@
+"""Full-page math detection flow.
+
+Parity target: reference ``MathDetector`` + demo page pipeline
+(``demo/ScanSSD/detect_flow.py:55-118``, ``demo/app.py:68-168``):
+resize page to width 1280, roll 512x512 windows stride 128, mean-subtract
+(246, 246, 246) + BGR order, batched SSD forward, per-window decode,
+window->page coordinate unmap, page-level NMS IoU 0.1, 5% box expansion.
+
+TPU-native: the SSD forward + decode + per-window NMS is one jitted
+program over the whole window batch.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .boxes import batched_detect, nms_fixed
+from .priors import MATH_GTDB_512, make_priors
+from .ssd import SSD512
+from .windows import expand_boxes, rolling_windows, unmap_boxes
+
+
+class MathDetector:
+    """Page image -> math region boxes."""
+
+    def __init__(
+        self,
+        variables=None,
+        conf_thresh: float = 0.5,
+        iou_thresh: float = 0.1,
+        window: int = 512,
+        stride: tuple[int, int] = (128, 128),
+        batch_size: int = 32,
+        seed: int = 0,
+    ):
+        self.model = SSD512(num_classes=2)
+        self.priors = jnp.asarray(make_priors(MATH_GTDB_512))
+        self.conf_thresh = conf_thresh
+        self.iou_thresh = iou_thresh
+        self.window = window
+        self.stride = stride
+        self.batch_size = batch_size
+        if variables is None:
+            dummy = jnp.zeros((1, window, window, 3), jnp.float32)
+            variables = self.model.init(jax.random.PRNGKey(seed), dummy)
+        self.variables = variables
+        self._detect = jax.jit(self._detect_impl)
+
+    def _preprocess(self, windows: np.ndarray) -> np.ndarray:
+        """uint8 (N, 512, 512, C) -> float32 mean-subtracted 3-channel."""
+        x = windows.astype(np.float32)
+        if x.shape[-1] == 1:
+            x = np.repeat(x, 3, axis=-1)
+        return x - np.asarray(MATH_GTDB_512["mean_pixel"], np.float32)
+
+    def _detect_impl(self, variables, x):
+        loc, conf = self.model.apply(variables, x)
+        return batched_detect(
+            loc, conf, self.priors,
+            conf_thresh=self.conf_thresh, iou_thresh=self.iou_thresh,
+        )
+
+    def detect_page(
+        self, page: np.ndarray, nms_iou: Optional[float] = None
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Full pipeline: returns (boxes (K, 4) page pixels, scores (K,))."""
+        windows, info = rolling_windows(page, self.stride, self.window)
+        all_boxes, all_scores = [], []
+        B = self.batch_size
+        for s in range(0, len(windows), B):
+            chunk = windows[s : s + B]
+            pad = B - len(chunk)
+            if pad:
+                chunk = np.concatenate(
+                    [chunk, np.full((pad, *chunk.shape[1:]), 255, np.uint8)]
+                )
+            boxes, scores = self._detect(
+                self.variables, jnp.asarray(self._preprocess(chunk))
+            )
+            all_boxes.append(np.asarray(boxes)[: len(chunk) - pad or None])
+            all_scores.append(np.asarray(scores)[: len(chunk) - pad or None])
+        boxes = np.concatenate(all_boxes)
+        scores = np.concatenate(all_scores)
+
+        page_boxes, page_scores = unmap_boxes(
+            boxes, scores, info, self.window, score_thresh=0.0
+        )
+        if len(page_boxes) == 0:
+            return page_boxes, page_scores
+        # page-level NMS (reference demo/app.py:152, IoU 0.1)
+        H, W = page.shape[:2]
+        kb, ks = nms_fixed(
+            jnp.asarray(page_boxes / np.array([W, H, W, H], np.float32)),
+            jnp.asarray(page_scores),
+            iou_thresh=nms_iou if nms_iou is not None else self.iou_thresh,
+            top_k=min(200, len(page_boxes)),
+        )
+        kb, ks = np.asarray(kb), np.asarray(ks)
+        keep = ks > 0
+        boxes = kb[keep] * np.array([W, H, W, H], np.float32)
+        boxes = expand_boxes(boxes, (H, W))
+        return boxes, ks[keep]
+
+    def crop_regions(self, page: np.ndarray, boxes: np.ndarray) -> list[np.ndarray]:
+        """Crop detected regions (reference demo/app.py:163-165)."""
+        out = []
+        for x1, y1, x2, y2 in boxes.astype(int):
+            out.append(page[y1:y2, x1:x2])
+        return out
