@@ -1,0 +1,133 @@
+"""Full-page math detection + recognition demo.
+
+Parity target: reference Streamlit demo (``demo/app.py:44-334``): upload an
+image/PDF page, resize to width 1280, detect math regions (SSD sliding
+windows + NMS), expand + crop each region, recognize each crop to LaTeX,
+render back.
+
+Runs as a CLI (``python demo/app.py page.png``) always; the Streamlit UI
+activates when streamlit is installed (``streamlit run demo/app.py``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from doc2tex_tpu.detection.flow import MathDetector
+from doc2tex_tpu.recognition import MathRecognition
+
+PAGE_WIDTH = 1280  # reference demo/app.py:68-84
+
+
+def detect_preprocess(page: np.ndarray) -> tuple[np.ndarray, float]:
+    """Resize page to width 1280 (reference demo/app.py:68-84)."""
+    from PIL import Image
+
+    h, w = page.shape[:2]
+    scale = PAGE_WIDTH / w
+    new_h = int(round(h * scale))
+    img = Image.fromarray(page).resize((PAGE_WIDTH, new_h), Image.LANCZOS)
+    return np.asarray(img, np.uint8), scale
+
+
+class App:
+    """page -> [(box, latex), ...] (reference App.__call__ demo/app.py:182)."""
+
+    def __init__(
+        self,
+        recog_config=None,
+        recog_weights=None,
+        detect_weights=None,
+        use_detect: bool = True,
+        conf_thresh: float = 0.5,
+    ):
+        self.use_detect = use_detect
+        self.detector = (
+            MathDetector(variables=detect_weights, conf_thresh=conf_thresh)
+            if use_detect
+            else None
+        )
+        self.recognizer = MathRecognition(
+            config=recog_config, weights_path=recog_weights
+        )
+
+    def __call__(self, page: np.ndarray):
+        if not self.use_detect:
+            latex = self.recognizer(page)
+            h, w = page.shape[:2]
+            return [((0, 0, w, h), latex)]
+        resized, scale = detect_preprocess(page)
+        boxes, scores = self.detector.detect_page(resized)
+        crops = self.detector.crop_regions(resized, boxes)
+        crops = [c for c in crops if c.size > 0]
+        if not crops:
+            return []
+        latexes = self.recognizer(crops)
+        out = []
+        for box, latex in zip(boxes, latexes):
+            orig_box = tuple(int(round(v / scale)) for v in box)
+            out.append((orig_box, latex))
+        return out
+
+
+def _cli() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("image", help="page image (png/jpg)")
+    p.add_argument("--recog_config", default=None)
+    p.add_argument("--recog_weights", default=None)
+    p.add_argument("--no_detect", action="store_true")
+    args = p.parse_args()
+
+    from PIL import Image
+
+    from doc2tex_tpu.config import load_config
+
+    cfg = load_config(args.recog_config) if args.recog_config else None
+    page = np.asarray(Image.open(args.image).convert("L"), np.uint8)
+    app = App(
+        recog_config=cfg,
+        recog_weights=args.recog_weights,
+        use_detect=not args.no_detect,
+    )
+    for box, latex in app(page):
+        print(f"{box}\t{latex}")
+
+
+def _streamlit() -> None:  # pragma: no cover - UI
+    import streamlit as st
+    from PIL import Image
+
+    st.set_page_config(page_title="doc2tex-tpu demo", layout="wide")
+    st.title("Math detection + recognition (TPU)")
+    uploaded = st.file_uploader("Page image", type=["png", "jpg", "jpeg"])
+    use_detect = st.checkbox("Detect regions", value=True)
+    if uploaded is not None:
+        page = np.asarray(Image.open(uploaded).convert("L"), np.uint8)
+        st.image(page, caption="input", use_column_width=True)
+
+        @st.cache_resource
+        def _app(use_detect: bool):
+            return App(use_detect=use_detect)
+
+        results = _app(use_detect)(page)
+        for box, latex in results:
+            st.latex(latex or r"\text{(empty)}")
+            st.caption(f"box: {box}")
+
+
+if __name__ == "__main__":
+    _cli()
+else:
+    try:  # streamlit executes the module top-level
+        import streamlit  # noqa: F401
+
+        if streamlit.runtime.exists():
+            _streamlit()
+    except Exception:
+        pass

@@ -1,0 +1,124 @@
+"""Per-crop math recognition flow (the demo recognizer).
+
+Parity target: reference ``MathRecognition``
+(``demo/HybridViT/recog_flow.py:17-128``): vocab prep, checkpoint load,
+preprocess/resize, greedy decode, '[s]' cut, whitespace + hspace/vspace
+postprocess.
+
+TPU-native: crops are grouped into the bucket ladder and decoded in
+batches with the jitted decode runner (the reference decodes one crop at a
+time); decode fns are cached per (bucket, batch) shape.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+
+from ..config import make_config
+from ..data.buckets import make_ladder, pad_to_bucket
+from ..decode.runner import make_decode_fn
+from ..models import build_model
+from ..tokenizer.converters import create_converter
+from ..train.checkpoint import load_pretrained_params
+from ..train.trainer import init_model
+from ..transforms.preprocess import resize_for_inference
+
+
+def postprocess_prediction(s: str) -> str:
+    """Whitespace removal + hspace/vspace argument collapsing
+    (reference ``recog_flow.py:84-105``)."""
+    from ..latex.postprocess import Postprocessing
+
+    s = Postprocessing.remove_unused_whitespace(s)
+    for space in ("hspace", "vspace"):
+        out, last = "", 0
+        for m in re.finditer(space + r" ?{(.*?)}", s):
+            out += s[last : m.start(1)] + m.group(1).replace(" ", "")
+            last = m.end(1)
+        s = out + s[last:]
+    return s
+
+
+class MathRecognition:
+    """Crop images -> LaTeX strings."""
+
+    def __init__(
+        self,
+        config=None,
+        weights_path: Optional[str] = None,
+        beam_size: Optional[int] = None,
+        seed: int = 0,
+    ):
+        self.config = config if config is not None else make_config(
+            {"synthetic_data": 1}
+        )
+        self.converter = create_converter(self.config)
+        self.config["num_class"] = self.converter.num_classes
+        self.model = build_model(self.config, self.converter.num_classes)
+        self.beam_size = (
+            beam_size if beam_size is not None
+            else int(self.config.get("beam_size", 1))
+        )
+
+        h0, w0 = self.config["min_dimension"]
+        params, batch_stats = init_model(
+            self.model, jax.random.PRNGKey(seed), (1, h0, w0, 1),
+            self.config["batch_max_length"] + 1,
+        )
+        if weights_path:
+            params, _ = load_pretrained_params(weights_path, params)
+        self.variables = {"params": params, "batch_stats": batch_stats}
+        self.table = make_ladder(
+            self.config["min_dimension"],
+            self.config["max_dimension"],
+            self.config.get("scale_factor", 32),
+        )
+        self._decode_cache: dict = {}
+
+    def _decode_fn(self):
+        key = self.beam_size
+        if key not in self._decode_cache:
+            self._decode_cache[key] = make_decode_fn(
+                self.model, self.config, beam_size=self.beam_size
+            )
+        return self._decode_cache[key]
+
+    def _preprocess(self, image: np.ndarray) -> np.ndarray:
+        if image.ndim == 3:
+            image = np.round(
+                image.astype(np.float32).mean(axis=-1)
+            ).astype(np.uint8)
+        return resize_for_inference(image, self.config)
+
+    def __call__(self, images) -> list[str]:
+        """One crop or a list of crops -> LaTeX string(s)."""
+        single = isinstance(images, np.ndarray)
+        crops: Sequence[np.ndarray] = [images] if single else list(images)
+        prepped = [self._preprocess(c) for c in crops]
+
+        # group by bucket
+        groups: dict[tuple[int, int], list[int]] = {}
+        for i, img in enumerate(prepped):
+            bucket = self.table.lookup(*img.shape[:2])
+            if bucket is None:
+                bucket = self.table.shapes[-1]
+                prepped[i] = img[: bucket[0], : bucket[1]]
+            groups.setdefault(bucket, []).append(i)
+
+        decode = self._decode_fn()
+        results: list[str] = [""] * len(crops)
+        token_level = self.config.get("token_level", "word")
+        sep = " " if token_level == "word" else ""
+        for bucket, idxs in groups.items():
+            batch = np.stack(
+                [pad_to_bucket(prepped[i], bucket) for i in idxs]
+            )[..., None]
+            tokens, _ = decode(self.variables, batch)
+            for row, i in zip(np.asarray(tokens), idxs):
+                toks = self.converter.detokenize(row[None])[0]
+                results[i] = postprocess_prediction(sep.join(toks))
+        return results[0] if single else results
