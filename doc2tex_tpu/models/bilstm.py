@@ -70,14 +70,27 @@ class BidirectionalLSTM(nn.Module):
 
 
 class BiLSTMSeqModeling(nn.Module):
-    """n stacked BidirectionalLSTM layers (reference bilstm.py:27-39)."""
+    """n stacked BidirectionalLSTM layers (reference bilstm.py:27-39) with
+    the optional 1D-pos-enc + GatedSum blend of the reference wiring
+    (``build_seq.py:14-19,46-57``)."""
 
     hidden_size: int = 256
     output_size: int = 256
     num_layers: int = 2
+    use_pos_enc: bool = False
 
     @nn.compact
     def __call__(self, x):
+        inp = x
         for _ in range(self.num_layers):
             x = BidirectionalLSTM(self.hidden_size, self.output_size)(x)
+        if self.use_pos_enc:
+            from .layers import GatedSum, posenc_1d
+
+            B, T, _ = inp.shape
+            pe = jnp.asarray(posenc_1d(T, inp.shape[-1]))
+            pos_feat = (inp + pe[None].astype(inp.dtype))
+            if pos_feat.shape[-1] != x.shape[-1]:
+                pos_feat = nn.Dense(x.shape[-1])(pos_feat)
+            x = GatedSum()(pos_feat, x)
         return x

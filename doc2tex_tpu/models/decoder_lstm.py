@@ -66,7 +66,8 @@ class LSTMAttentionDecoder(nn.Module):
     embed_dim: int | None = None
     kernel_size: int = 2        # loc conv half-width -> kernel 2k+1
     kernel_dim: int = 128
-    attn_type: str = "coverage"  # 'coverage' | 'loc_aware' | 'bahdanau'
+    attn_type: str = "coverage"  # 'coverage'|'loc_aware'|'bahdanau'|'luong'
+    method: str = "dot"          # luong scoring: 'dot'|'general'|'concat'
     embed_target: bool = True
     enc_init: bool = True
     seqmodel: str = "TFM"       # 'TFM' splits cls token (AttentionV2)
@@ -80,21 +81,29 @@ class LSTMAttentionDecoder(nn.Module):
         f32 = jnp.float32
         if self.embed_target:
             self.embedding = self.param("embedding", trunc_init, (V, E), f32)
-            in_dim = D + E
+            in_dim = E if self.attn_type == "luong" else D + E
         else:
-            in_dim = D + V
+            in_dim = V if self.attn_type == "luong" else D + V
         if self.enc_init:
             self.w_init_h = self.param("w_init_h", trunc_init, (D, H), f32)
             self.b_init_h = self.param("b_init_h", nn.initializers.zeros, (H,), f32)
             self.w_init_c = self.param("w_init_c", trunc_init, (D, H), f32)
             self.b_init_c = self.param("b_init_c", nn.initializers.zeros, (H,), f32)
         # attention cell params
-        self.w_key = self.param("w_key", trunc_init, (D, H), f32)
-        self.b_key = self.param("b_key", nn.initializers.zeros, (H,), f32)
-        self.w_query = self.param("w_query", trunc_init, (H, H), f32)
-        self.b_query = self.param("b_query", nn.initializers.zeros, (H,), f32)
-        self.w_score = self.param("w_score", trunc_init, (H, 1), f32)
-        self.b_score = self.param("b_score", nn.initializers.zeros, (1,), f32)
+        if self.attn_type == "luong":
+            # Luong scoring (reference attention1D.py:8-71): LSTM input is
+            # the embedding alone; generator consumes [context; h].
+            if self.method in ("general", "concat"):
+                self.w_luong = self.param("w_luong", trunc_init, (H, H), f32)
+            if self.method == "concat":
+                self.v_luong = self.param("v_luong", trunc_init, (H, 1), f32)
+        else:
+            self.w_key = self.param("w_key", trunc_init, (D, H), f32)
+            self.b_key = self.param("b_key", nn.initializers.zeros, (H,), f32)
+            self.w_query = self.param("w_query", trunc_init, (H, H), f32)
+            self.b_query = self.param("b_query", nn.initializers.zeros, (H,), f32)
+            self.w_score = self.param("w_score", trunc_init, (H, 1), f32)
+            self.b_score = self.param("b_score", nn.initializers.zeros, (1,), f32)
         if self.attn_type in ("coverage", "loc_aware"):
             k = 2 * self.kernel_size + 1
             self.loc_conv_w = self.param(
@@ -112,7 +121,8 @@ class LSTMAttentionDecoder(nn.Module):
             "w_hh": self.param("w_hh", trunc_init, (H, 4 * H), f32),
             "b_hh": self.param("b_hh", nn.initializers.zeros, (4 * H,), f32),
         }
-        self.w_gen = self.param("w_gen", trunc_init, (H, V), f32)
+        gen_in = D + H if self.attn_type == "luong" else H
+        self.w_gen = self.param("w_gen", trunc_init, (gen_in, V), f32)
         self.b_gen = self.param("b_gen", nn.initializers.zeros, (V,), f32)
 
     # ------------------------------------------------------------------
@@ -142,7 +152,10 @@ class LSTMAttentionDecoder(nn.Module):
         else:
             h = jnp.zeros((B, H), jnp.float32)
             c = jnp.zeros((B, H), jnp.float32)
-        enc_proj = enc @ self.w_key + self.b_key
+        if self.attn_type == "luong":
+            enc_proj = jnp.zeros((B, S, H), jnp.float32)  # unused by luong
+        else:
+            enc_proj = enc @ self.w_key + self.b_key
         zeros = jnp.zeros((B, S), jnp.float32)
         return DecoderState(h, c, zeros, zeros, enc, enc_proj)
 
@@ -152,6 +165,24 @@ class LSTMAttentionDecoder(nn.Module):
         """One decode step: tokens (B,) int32 -> (new_state, logits (B, V))."""
         emb = self._embed(tokens)
         H = self.hidden_size
+
+        if self.attn_type == "luong":
+            # LSTM first, then score against its new hidden (reference
+            # LuongAttention.forward, attention1D.py:19-35)
+            h_new, c_new = _lstm_cell(self.lstm, emb, state.h, state.c)
+            if self.method == "dot":
+                e = jnp.einsum("bsd,bd->bs", state.enc, h_new)
+            elif self.method == "general":
+                e = jnp.einsum("bsd,bd->bs", state.enc, h_new @ self.w_luong)
+            else:  # concat
+                mix = jnp.tanh((h_new[:, None, :] + state.enc) @ self.w_luong)
+                e = (mix @ self.v_luong)[..., 0]
+            alpha = jax.nn.softmax(e, axis=-1)
+            context = jnp.einsum("bs,bsd->bd", alpha, state.enc)
+            out = jnp.tanh(jnp.concatenate([context, h_new], axis=-1))
+            logits = out @ self.w_gen + self.b_gen
+            new_state = state._replace(h=h_new, c=c_new, alpha_prev=alpha)
+            return new_state, logits
 
         # location context from the attention memory
         if self.attn_type in ("coverage", "loc_aware"):
@@ -169,7 +200,10 @@ class LSTMAttentionDecoder(nn.Module):
 
         q = (state.h @ self.w_query + self.b_query)[:, None, :]
         e = jnp.tanh(state.enc_proj + q + loc) @ self.w_score + self.b_score  # (B,S,1)
-        alpha = jax.nn.softmax(e[..., 0], axis=-1)  # (B, S)
+        alpha = jnp.asarray(jax.nn.softmax(e[..., 0], axis=-1))  # (B, S)
+        # capturable alignment for attention-overlay viz (reference packs
+        # alpha into addition_outputs, build_model.py:65-77)
+        self.sow("intermediates", "alpha", alpha)
         context = jnp.einsum("bs,bsd->bd", alpha, state.enc)
 
         x = jnp.concatenate([context, emb], axis=-1)

@@ -110,6 +110,10 @@ class SelfAttention(nn.Module):
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, H, hd)
         attn = jnp.einsum("bnhd,bmhd->bhnm", q, k) * scale
         attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
+        # capturable attention probs for rollout viz (reference hooks on
+        # attn_drop, vit_visualize.py:45-50); retrieved via
+        # apply(..., mutable=['intermediates'])
+        self.sow("intermediates", "attn_probs", attn)
         attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
         out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(B, N, C)
         out = nn.Dense(self.dim, dtype=self.dtype, kernel_init=trunc_init)(out)
@@ -171,3 +175,81 @@ class GatedSum(nn.Module):
         gate = nn.Dense(1)(jnp.concatenate([a, b], axis=-1))
         g = jax.nn.sigmoid(gate)
         return g * a + (1.0 - g) * b
+
+
+def posenc_1d(max_len: int, d_model: int) -> np.ndarray:
+    """1D sin-cos PE over sequence positions (reference
+    PositionalEncoding1D, postional_encoding.py:137-168)."""
+    return word_posenc(max_len, d_model)
+
+
+def posenc_2d_hw(h: int, w: int, d_model: int) -> np.ndarray:
+    """h/w-split sin-cos 2D PE (reference PositionalEncoding2D,
+    postional_encoding.py:91-134): first half of channels encodes height,
+    second half width.  Returns (h, w, d_model) float32."""
+    assert d_model % 2 == 0
+    half = d_model // 2
+    pe_h = word_posenc(h, half)          # (h, half)
+    pe_w = word_posenc(w, half)          # (w, half)
+    out = np.zeros((h, w, d_model), np.float32)
+    out[..., :half] = pe_h[:, None, :]
+    out[..., half:] = pe_w[None, :, :]
+    return out
+
+
+class Adaptive2DPositionalEncoding(nn.Module):
+    """SATRN adaptive 2D PE (reference postional_encoding.py:11-88):
+    sin-cos h/w tables scaled per sample by learned alpha factors from a
+    globally-pooled 2-layer MLP."""
+
+    d_model: int
+    max_h: int = 256
+    max_w: int = 256
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        """x: (B, H, W, C) -> x + adaptive PE."""
+        B, H, W, C = x.shape
+        half = self.d_model
+        pe_h = jnp.asarray(word_posenc(self.max_h, self.d_model))[:H]  # (H, C)
+        pe_w = jnp.asarray(word_posenc(self.max_w, self.d_model))[:W]  # (W, C)
+
+        pooled = x.mean(axis=(1, 2))  # (B, C)
+
+        def scale_mlp(name):
+            h = nn.Dense(self.d_model // 2, dtype=self.dtype, name=f"{name}_fc1")(pooled)
+            h = nn.relu(h)
+            h = nn.Dense(self.d_model, dtype=self.dtype, name=f"{name}_fc2")(h)
+            return jax.nn.sigmoid(h)  # (B, C)
+
+        alpha_h = scale_mlp("h")[:, None, None, :]
+        alpha_w = scale_mlp("w")[:, None, None, :]
+        return (
+            x
+            + alpha_h * pe_h[None, :, None, :].astype(x.dtype)
+            + alpha_w * pe_w[None, None, :, :].astype(x.dtype)
+        )
+
+
+class PosConv(nn.Module):
+    """PEG positional encoding generator (reference postional_encoding.py:
+    174-219): depthwise 3x3 conv over the 2D token grid, residual add."""
+
+    dim: int
+    stride: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, grid_hw):
+        """x: (B, N, C) tokens (no cls); grid_hw = (h, w)."""
+        B, N, C = x.shape
+        h, w = grid_hw
+        feat = x.reshape(B, h, w, C)
+        out = nn.Conv(
+            self.dim, (3, 3), strides=(self.stride, self.stride),
+            feature_group_count=C, dtype=self.dtype,
+        )(feat)
+        if self.stride == 1:
+            out = out + feat
+        return out.reshape(B, -1, self.dim)

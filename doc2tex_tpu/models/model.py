@@ -116,10 +116,11 @@ class Model(nn.Module):
             p = cfg["SequenceModeling"].get("params", {})
             self.seqmodeler = BiLSTMSeqModeling(
                 hidden_size=p.get("hidden_size", 256),
-                output_size=p.get("output_size", 256),
+                output_size=p.get("output_size", p.get("hidden_size", 256)),
                 num_layers=p.get("num_layers", 2),
+                use_pos_enc=p.get("pos_enc", False),
             )
-            enc_dim = p.get("output_size", 256)
+            enc_dim = p.get("output_size", p.get("hidden_size", 256))
         elif seq == "None":
             self.seqmodeler = None
             enc_dim = cfg["FeatureExtraction"].get("params", {}).get(
@@ -139,6 +140,7 @@ class Model(nn.Module):
                 kernel_size=pp.get("kernel_size", 2),
                 kernel_dim=pp.get("kernel_dim", 128),
                 attn_type=pp.get("attn_type", "coverage"),
+                method=pp.get("method", "dot"),
                 embed_target=pp.get("embed_target", True),
                 enc_init=pp.get("enc_init", False),
                 seqmodel=pp.get("seqmodel", "TFM"),
@@ -170,8 +172,17 @@ class Model(nn.Module):
         if self.stages[1] == "ViT":
             tokens, _grid = self.seqmodeler(x, train)
             return tokens
-        # CNN path: collapse height (reference build_feat.py AdaptiveAvgPool
-        # to h=1) then (B, W, C)
+        if self.stages[1] == "None" and self.stages[2] == "TFM":
+            # keep the 2D map: h/w-split sin-cos PE then flatten HW
+            # (reference build_seq.py:36-38,71-77 PositionalEncoding2D path)
+            from .layers import posenc_2d_hw
+
+            B, H, W, C = x.shape
+            pe = jnp.asarray(posenc_2d_hw(H, W, C))
+            x = x + pe[None].astype(x.dtype)
+            return x.reshape(B, H * W, C)
+        # Attn/BiLSTM CNN path: collapse height (reference build_feat.py
+        # AdaptiveAvgPool to h=1) then (B, W, C)
         x = x.mean(axis=1)
         if self.seqmodeler is not None:
             x = self.seqmodeler(x)

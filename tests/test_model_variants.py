@@ -1,0 +1,123 @@
+"""Model-assembly variants: every stage combination the reference supports.
+
+Covers the config matrix of reference ``build_feat.py``/``build_seq.py``/
+``build_pred.py``: ResNet/VGG feature extractors, BiLSTM/None sequence
+modeling, Attn (luong/bahdanau/coverage/loc_aware) and TFM heads.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from doc2tex_tpu.config import make_config
+from doc2tex_tpu.models import build_model
+
+V = 20
+
+
+def cnn_config(feat="ResNet", seq="None", pred="TFM", attn_type="coverage",
+               method="dot", **kw):
+    pred_params = (
+        {
+            "d_model": 64, "nhead": 4, "num_decoder_layers": 2,
+            "dim_feedforward": 128, "dropout": 0.0,
+        }
+        if pred == "TFM"
+        else {
+            "seqmodel": "BiLSTM" if seq == "BiLSTM" else "None",
+            "input_size": 64, "hidden_size": 64, "kernel_size": 2,
+            "kernel_dim": 32, "embed_target": True, "enc_init": False,
+            "attn_type": attn_type, "method": method, "droprate": 0.0,
+        }
+    )
+    c = make_config(
+        dict(
+            max_dimension=[64, 128], min_dimension=[32, 32], batch_max_length=8,
+            FeatureExtraction={
+                "name": feat,
+                "params": {"input_channel": 1, "output_channel": 64},
+            },
+            SequenceModeling={
+                "name": seq,
+                "params": {"hidden_size": 64, "output_size": 64,
+                           "num_layers": 2, **kw.pop("seq_params", {})},
+            },
+            Prediction={"name": pred, "params": pred_params},
+            dtype="float32",
+        )
+    )
+    c.update(kw)
+    return c
+
+
+def run_forward(cfg, img_hw=(32, 64)):
+    model = build_model(cfg, V)
+    img = jnp.asarray(
+        np.random.default_rng(0).normal(size=(2, *img_hw, 1)).astype(np.float32)
+    )
+    text = jnp.ones((2, 9), jnp.int32)
+    variables = model.init(jax.random.PRNGKey(0), img, text, False)
+    logits = model.apply(variables, img, text, False)
+    assert logits.shape == (2, 9, V)
+    assert np.isfinite(np.asarray(logits)).all()
+    return model, variables
+
+
+class TestStageMatrix:
+    def test_resnet_none_tfm_2d_posenc(self):
+        run_forward(cnn_config("ResNet", "None", "TFM"))
+
+    def test_vgg_bilstm_attn_coverage(self):
+        run_forward(cnn_config("VGG", "BiLSTM", "Attn"))
+
+    def test_resnet_bilstm_attn_bahdanau(self):
+        run_forward(cnn_config("ResNet", "BiLSTM", "Attn", attn_type="bahdanau"))
+
+    def test_bilstm_with_pos_enc_gatedsum(self):
+        cfg = cnn_config("ResNet", "BiLSTM", "Attn",
+                         seq_params={"pos_enc": True})
+        run_forward(cfg)
+
+    @pytest.mark.parametrize("method", ["dot", "general", "concat"])
+    def test_luong_methods(self, method):
+        run_forward(cnn_config("ResNet", "BiLSTM", "Attn",
+                               attn_type="luong", method=method))
+
+    def test_luong_decode_steps(self):
+        cfg = cnn_config("ResNet", "BiLSTM", "Attn", attn_type="luong")
+        model, variables = run_forward(cfg)
+        img = jnp.zeros((2, 32, 64, 1), jnp.float32)
+        enc = model.apply(variables, img, method="encode")
+        state = model.apply(variables, enc, 8, method="init_decode_state")
+        state, logits = model.apply(
+            variables, state, jnp.zeros((2,), jnp.int32), method="decode_step"
+        )
+        assert logits.shape == (2, V)
+
+
+class TestPosEncodings:
+    def test_posenc_2d_hw_shape(self):
+        from doc2tex_tpu.models.layers import posenc_2d_hw
+
+        pe = posenc_2d_hw(4, 6, 32)
+        assert pe.shape == (4, 6, 32)
+        # h half varies along h only; w half along w only
+        assert np.allclose(pe[0, 0, :16], pe[0, 3, :16])
+        assert np.allclose(pe[0, 0, 16:], pe[2, 0, 16:])
+
+    def test_adaptive_2d(self):
+        from doc2tex_tpu.models.layers import Adaptive2DPositionalEncoding
+
+        m = Adaptive2DPositionalEncoding(d_model=32)
+        x = jnp.zeros((2, 4, 6, 32))
+        v = m.init(jax.random.PRNGKey(0), x)
+        assert m.apply(v, x).shape == (2, 4, 6, 32)
+
+    def test_posconv(self):
+        from doc2tex_tpu.models.layers import PosConv
+
+        m = PosConv(dim=16)
+        x = jnp.ones((2, 24, 16))
+        v = m.init(jax.random.PRNGKey(0), x, (4, 6))
+        assert m.apply(v, x, (4, 6)).shape == (2, 24, 16)
