@@ -62,7 +62,7 @@ def make_decode_fn(
         x = images.astype(jnp.float32)
         if x.ndim == 3:
             x = x[..., None]
-        x = normalize(x / 255.0, mean=mean, std=std)
+        x = normalize(x, mean=mean, std=std)
         B = x.shape[0]
 
         enc = model.apply(variables, x, method="encode")

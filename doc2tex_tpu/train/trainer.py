@@ -97,7 +97,7 @@ def make_train_step(
         if do_augment:
             x = train_augment(aug_rng, x, mean=mean, std=std)
         else:
-            x = normalize(x / 255.0, mean=mean, std=std)
+            x = normalize(x, mean=mean, std=std)
 
         inp, tgt = text[:, :-1], text[:, 1:]
 
@@ -147,7 +147,7 @@ def make_eval_step(model: Model, criterion: Callable, config) -> Callable:
         x = images.astype(jnp.float32)
         if x.ndim == 3:
             x = x[..., None]
-        x = normalize(x / 255.0, mean=mean, std=std)
+        x = normalize(x, mean=mean, std=std)
         inp, tgt = text[:, :-1], text[:, 1:]
         logits = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},

@@ -1,0 +1,187 @@
+"""Cross-framework parity: reference PyTorch model vs doc2tex_tpu.
+
+Builds the reference Model (run IN PLACE from /root/reference, never
+copied) with random weights, imports its state_dict through
+``tools/torch_import.py``, and asserts encoder outputs / teacher-forced
+logits / greedy decodes agree numerically.  This is the strongest parity
+gate available without released checkpoints.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+REFERENCE = os.environ.get("DOC2TEX_REFERENCE", "/root/reference")
+
+torch = pytest.importorskip("torch")
+if not os.path.isdir(REFERENCE):
+    pytest.skip("reference repo not mounted", allow_module_level=True)
+sys.path.insert(0, REFERENCE)
+
+import jax
+import jax.numpy as jnp
+
+from doc2tex_tpu.config import make_config
+from doc2tex_tpu.models import build_model
+from doc2tex_tpu.tools.torch_import import import_torch_state_dict
+
+V = 20
+H_IMG, W_IMG = 32, 64
+
+
+def ref_config(device):
+    return {
+        "imgH": None, "imgW": None,
+        "max_dimension": [64, 128], "min_dimension": [32, 32],
+        "batch_max_length": 12, "rgb": False, "pad": False,
+        "FeatureExtraction": {"name": "None"},
+        "SequenceModeling": {
+            "name": "ViT",
+            "params": {
+                "backbone": {
+                    "name": "resnet", "input_channel": 1,
+                    "output_channel": 64, "gcb": False,
+                },
+                "fix_embed": True, "input_channel": 1,
+                "patching_style": "2d", "patch_size": [2, 2],
+                "depth": 2, "num_heads": 4, "hidden_size": 64,
+            },
+        },
+        "Prediction": {
+            "name": "Attnv2",
+            "params": {
+                "seqmodel": "TFM", "input_size": 64, "hidden_size": 64,
+                "kernel_size": 2, "kernel_dim": 32, "embed_target": True,
+                "enc_init": True, "attn_type": "coverage", "method": "concat",
+                "teacher_forcing": 1.0, "droprate": 0.0,
+            },
+        },
+        "num_class": V, "device": device, "beam_size": 1,
+    }
+
+
+def our_config():
+    return make_config(
+        dict(
+            max_dimension=[64, 128], min_dimension=[32, 32], batch_max_length=12,
+            FeatureExtraction={"name": "None"},
+            SequenceModeling={
+                "name": "ViT",
+                "params": {
+                    "backbone": {
+                        "name": "resnet", "input_channel": 1,
+                        "output_channel": 64, "gcb": False,
+                    },
+                    "fix_embed": True, "input_channel": 1,
+                    "patching_style": "2d", "patch_size": [2, 2],
+                    "depth": 2, "num_heads": 4, "hidden_size": 64,
+                },
+            },
+            Prediction={
+                "name": "Attnv2",
+                "params": {
+                    "seqmodel": "TFM", "input_size": 64, "hidden_size": 64,
+                    "kernel_size": 2, "kernel_dim": 32, "embed_target": True,
+                    "enc_init": True, "attn_type": "coverage",
+                    "droprate": 0.0,
+                },
+            },
+            dtype="float32",
+        )
+    )
+
+
+@pytest.fixture(scope="module")
+def models():
+    from doc2tex.modules.build_model import Model as RefModel
+
+    device = torch.device("cpu")
+    torch.manual_seed(0)
+    ref = RefModel(ref_config(device)).to(device).eval()
+
+    cfg = our_config()
+    ours = build_model(cfg, V)
+    img = jnp.zeros((2, H_IMG, W_IMG, 1), jnp.float32)
+    txt = jnp.zeros((2, 13), jnp.int32)
+    variables = ours.init(jax.random.PRNGKey(0), img, txt, False)
+
+    sd = {k: v.numpy() for k, v in ref.state_dict().items()}
+    params, stats, missing = import_torch_state_dict(
+        sd, cfg, variables["params"], variables.get("batch_stats", {})
+    )
+    assert not missing, f"unmapped template params: {missing}"
+    return ref, ours, {"params": params, "batch_stats": stats}
+
+
+@pytest.fixture(scope="module")
+def image():
+    rng = np.random.default_rng(42)
+    # uniform in (-1, 1): the normalized-pixel range, so the decode test's
+    # pixel round-trip ((x*.5+.5)*255 -> /255 -> (v-.5)/.5) is lossless
+    return rng.uniform(-1.0, 1.0, size=(2, H_IMG, W_IMG, 1)).astype(np.float32)
+
+
+class TestParity:
+    def test_encoder_outputs_match(self, models, image):
+        ref, ours, variables = models
+        with torch.no_grad():
+            t_enc = ref.forward_encoder(
+                torch.from_numpy(np.transpose(image, (0, 3, 1, 2)))
+            )
+            t_enc = t_enc[0] if isinstance(t_enc, tuple) else t_enc
+        j_enc = ours.apply(variables, jnp.asarray(image), method="encode")
+        np.testing.assert_allclose(
+            np.asarray(j_enc), t_enc.numpy(), rtol=2e-3, atol=2e-4
+        )
+
+    def test_teacher_forced_logits_match(self, models, image):
+        ref, ours, variables = models
+        text = np.random.default_rng(1).integers(0, V, size=(2, 13)).astype(np.int64)
+        text[:, 0] = 0  # [GO] — the reference force-feeds GO at step 0
+        with torch.no_grad():
+            t_out = ref(
+                torch.from_numpy(np.transpose(image, (0, 3, 1, 2))),
+                torch.from_numpy(text),
+                is_train=True,
+            )
+            t_logits = t_out[1]  # (preds_index, probs, addition_outputs)
+        j_logits = ours.apply(
+            variables, jnp.asarray(image), jnp.asarray(text.astype(np.int32)), False
+        )
+        np.testing.assert_allclose(
+            np.asarray(j_logits), t_logits.numpy(), rtol=2e-3, atol=5e-4
+        )
+
+    def test_greedy_decode_tokens_match(self, models, image):
+        ref, ours, variables = models
+        from doc2tex_tpu.decode.runner import make_decode_fn
+
+        text_for_pred = torch.zeros((2, 14), dtype=torch.long)
+        with torch.no_grad():
+            t_out = ref(
+                torch.from_numpy(np.transpose(image, (0, 3, 1, 2))),
+                text_for_pred,
+                is_train=False,
+                is_test=True,
+            )
+        t_tokens = (t_out[0] if isinstance(t_out, (tuple, list)) else t_out)
+        if t_tokens.dtype != torch.long:
+            t_tokens = t_tokens.argmax(-1)
+        t_tokens = t_tokens.numpy()
+
+        cfg = our_config()
+        # decode on raw normalized floats: bypass uint8 path by feeding
+        # pixels that normalize back to `image` ((x/255 - .5)/.5)
+        raw = np.clip((image * 0.5 + 0.5) * 255.0, 0, 255)
+        decode = make_decode_fn(ours, cfg, beam_size=1, max_steps=13)
+        j_tokens, _ = decode(variables, jnp.asarray(raw))
+        j_tokens = np.asarray(j_tokens)
+
+        for b in range(2):
+            t_row = t_tokens[b].tolist()
+            j_row = j_tokens[b].tolist()
+            # compare up to the first [s]=1 in ours
+            j_cut = j_row[: j_row.index(1) + 1] if 1 in j_row else j_row
+            assert t_row[: len(j_cut)] == j_cut
