@@ -185,3 +185,36 @@ class TestParity:
             # compare up to the first [s]=1 in ours
             j_cut = j_row[: j_row.index(1) + 1] if 1 in j_row else j_row
             assert t_row[: len(j_cut)] == j_cut
+
+    def test_beam_decode_tokens_match(self, models, image):
+        """Batch-1 beam=3: tokens must match the reference forward_beam
+        (length-normalized selection, seq2seq.py:83-222)."""
+        ref, ours, variables = models
+        from doc2tex_tpu.decode.runner import make_decode_fn
+
+        cfg = our_config()
+        cfg["beam_size"] = 3
+        # the reference reads beam_size from its (shared, mutable) config
+        # dict at forward time (build_pred.py:31)
+        ref.predicter.config["beam_size"] = 3
+        self._restore = lambda: ref.predicter.config.update(beam_size=1)
+        text_for_pred = torch.zeros((1, 14), dtype=torch.long)
+        raw = np.clip((image * 0.5 + 0.5) * 255.0, 0, 255)
+        decode = make_decode_fn(ours, cfg, beam_size=3, max_steps=13)
+
+        for b in range(2):
+            with torch.no_grad():
+                t_out = ref(
+                    torch.from_numpy(np.transpose(image[b : b + 1], (0, 3, 1, 2))),
+                    text_for_pred,
+                    is_train=False,
+                    is_test=True,
+                )
+            t_seq = t_out[0].numpy()[0].tolist()
+
+            j_tokens, _ = decode(variables, jnp.asarray(raw[b : b + 1]))
+            j_row = np.asarray(j_tokens)[0].tolist()
+            # ours records [s]; reference seq includes [s] as last element
+            j_cut = j_row[: j_row.index(1) + 1] if 1 in j_row else j_row
+            assert j_cut == t_seq[: len(j_cut)], f"batch {b}: {j_cut} vs {t_seq}"
+        ref.predicter.config["beam_size"] = 1  # restore for other tests
