@@ -60,9 +60,12 @@ class ConvBN(nn.Module):
             dtype=self.dtype,
             kernel_init=kaiming,
         )(x)
+        # BN computes in the module dtype: keeps the conv->bn->relu chain
+        # in bf16 on TPU (f32 roundtrips on full-res maps were the encoder
+        # bottleneck); stats/params stay f32 via param_dtype defaults.
         x = nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            dtype=jnp.float32,
+            dtype=self.dtype,
         )(x)
         return x
 
@@ -90,7 +93,7 @@ class BasicBlock(nn.Module):
             )(x)
             residual = nn.BatchNorm(
                 use_running_average=not train, momentum=0.9, epsilon=1e-5,
-                dtype=jnp.float32,
+                dtype=self.dtype,
             )(residual)
         out = nn.relu(out + residual)
         return out

@@ -36,7 +36,7 @@ class VGGFeatureExtractor(nn.Module):
             if use_bn:
                 x = nn.BatchNorm(
                     use_running_average=not train, momentum=0.9, epsilon=1e-5,
-                    dtype=jnp.float32,
+                    dtype=self.dtype,
                 )(x)
             return nn.relu(x)
 
