@@ -28,7 +28,38 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 import numpy as np
 
 
-def load_csv_dataset(csv_dir: str, data_dir: str, config):
+def make_resizer_hook(config):
+    """Learned width-bucket resizer hook (reference --resizer path,
+    ``api/infer.py:389-398`` + resize loop ``predict_utils.py:14-115``)."""
+    import jax
+    import jax.numpy as jnp
+
+    from doc2tex_tpu.models.extras import LearnedResizer
+    from doc2tex_tpu.transforms.preprocess import _resize_area, learned_resize
+
+    model = LearnedResizer(num_buckets=config.get("resizer_buckets", 21))
+    probe = jnp.zeros((1, 64, 64, 1), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), probe)
+    if config.get("resizer_weights"):
+        from doc2tex_tpu.train.checkpoint import load_pretrained_params
+
+        params, _ = load_pretrained_params(
+            config["resizer_weights"], variables["params"]
+        )
+        variables = {**variables, "params": params}
+    apply_fn = jax.jit(lambda x: jnp.argmax(model.apply(variables, x), -1))
+
+    def predict(img):
+        x = _resize_area(img, 64, 64).astype(np.float32)[None, ..., None]
+        return int(apply_fn(jnp.asarray(x))[0])
+
+    def hook(img):
+        return learned_resize(img, predict)
+
+    return hook
+
+
+def load_csv_dataset(csv_dir: str, data_dir: str, config, resize_hook=None):
     """CSV manifest (id<TAB>label) + image dir -> ArrayDataset with
     inference-time resize (reference ``TestDatasetSingle`` api/infer.py:29-70
     + ``resize`` predict_utils.py:14-115)."""
@@ -48,6 +79,8 @@ def load_csv_dataset(csv_dir: str, data_dir: str, config):
         if not os.path.exists(path):
             continue
         img = np.asarray(Image.open(path).convert("L"), np.uint8)
+        if resize_hook is not None:
+            img = resize_hook(img)
         images.append(resize_for_inference(img, config))
         labels.append(label)
         names.append(name)
@@ -136,7 +169,8 @@ def main() -> None:
         config["beam_size"] = args.beam_size
 
     if args.csv_dir and args.data_dir:
-        dataset = load_csv_dataset(args.csv_dir, args.data_dir, config)
+        hook = make_resizer_hook(config) if args.resizer else None
+        dataset = load_csv_dataset(args.csv_dir, args.data_dir, config, hook)
     elif config.get("eval_data") and os.path.isdir(config["eval_data"]):
         dataset = LmdbDataset(config["eval_data"], rgb=config.get("rgb", False))
     elif config.get("synthetic_data"):

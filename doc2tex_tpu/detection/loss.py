@@ -106,3 +106,33 @@ def multibox_loss(
 
     ll, lc = jax.vmap(one)(loc_pred, conf_pred, gt_boxes, gt_valid)
     return ll.mean(), lc.mean()
+
+
+def focal_loss(
+    loc_pred, conf_pred, gt_boxes, gt_valid, priors,
+    alpha: float = 0.25, gamma: float = 2.0,
+):
+    """Focal-loss alternative to hard-negative mining (reference
+    ``demo/ScanSSD/layers/modules/focal_loss.py``): smooth-L1 on positives
+    + focal CE over ALL priors (no mining needed).  Returns (loss_l, loss_c).
+    """
+
+    def one(lp, cp, gb, gv):
+        loc_t, pos = match_priors(gb, gv, priors)
+        n_pos = jnp.maximum(pos.sum(), 1)
+
+        diff = jnp.abs(lp - loc_t)
+        sl1 = jnp.where(diff < 1.0, 0.5 * diff * diff, diff - 0.5).sum(-1)
+        loss_l = jnp.where(pos, sl1, 0.0).sum() / n_pos
+
+        logp = jax.nn.log_softmax(cp.astype(jnp.float32), -1)
+        labels = pos.astype(jnp.int32)
+        ce = -jnp.take_along_axis(logp, labels[:, None], -1)[:, 0]
+        pt = jnp.exp(-ce)
+        a_t = jnp.where(pos, alpha, 1.0 - alpha)
+        fl = a_t * (1.0 - pt) ** gamma * ce
+        loss_c = fl.sum() / n_pos
+        return loss_l, loss_c
+
+    ll, lc = jax.vmap(one)(loc_pred, conf_pred, gt_boxes, gt_valid)
+    return ll.mean(), lc.mean()

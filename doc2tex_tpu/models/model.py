@@ -47,8 +47,11 @@ def _vit_from_config(config, dtype) -> ViTEncoder:
         if config.get("imgH")
         else tuple(config["max_dimension"])
     )
-    max_grid = grid_size_for(max_dim, patch, backbone_name)
-    if sm.get("fix_embed", False):
+    patching_style = sm.get("patching_style", "2d")
+    max_grid = grid_size_for(max_dim, patch, backbone_name, patching_style)
+    if patching_style == "1d":
+        mode = "interpolate"     # TRIGBaseEncoder uses a learned 1D table
+    elif sm.get("fix_embed", False):
         mode = "sincos"          # ViTEncoderV3 (vit_encoder.py:296-297)
     elif not sm.get("interpolate_embed", True):
         mode = "truncate"        # ViTEncoderV2
@@ -59,6 +62,7 @@ def _vit_from_config(config, dtype) -> ViTEncoder:
         depth=sm["depth"],
         num_heads=sm["num_heads"],
         patch_size=patch,
+        patching_style=patching_style,
         max_grid=max_grid,
         backbone_name=backbone_name,
         backbone_channels=(backbone or {}).get("output_channel", 512),

@@ -37,7 +37,10 @@ def _ceil_to(x: int, m: int) -> int:
 
 
 def grid_size_for(
-    img_hw: tuple[int, int], patch: tuple[int, int], backbone: Optional[str]
+    img_hw: tuple[int, int],
+    patch: tuple[int, int],
+    backbone: Optional[str],
+    patching_style: str = "2d",
 ) -> tuple[int, int]:
     """Patch-grid size for an input image shape (static shape contract)."""
     if backbone == "resnet":
@@ -46,6 +49,8 @@ def grid_size_for(
         fh, fw = img_hw
     else:
         raise ValueError(f"unknown backbone {backbone!r}")
+    if patching_style == "1d":
+        return 1, _ceil_to(fw, patch[1]) // patch[1]
     return _ceil_to(fh, patch[0]) // patch[0], _ceil_to(fw, patch[1]) // patch[1]
 
 
@@ -96,6 +101,54 @@ class HybridEmbed(nn.Module):
         return tokens.reshape(B, gh * gw, self.embed_dim), (gh, gw)
 
 
+class HybridEmbed1D(nn.Module):
+    """TRIG-style 1D patching (reference patchembed.py:144-236, from
+    arXiv:2111.08314): CNN backbone -> per-row width-window Conv1d with
+    shared weights -> mean over height -> (B, W', D) sequence.
+
+    TPU-native: the per-row Python loop collapses to ONE Conv with kernel
+    (1, w) stride (1, w) over the 2D map (identical math, one MXU op)."""
+
+    patch_width: int
+    embed_dim: int
+    backbone_name: str = "resnet"
+    backbone_channels: int = 512
+    input_channel: int = 1
+    gcb: bool = False
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if self.backbone_name == "resnet":
+            feat = ResNetFeatureExtractor(
+                input_channel=self.input_channel,
+                output_channel=self.backbone_channels,
+                gcb=self.gcb,
+                dtype=self.dtype,
+            )(x, train)
+        else:
+            feat = VGGFeatureExtractor(
+                input_channel=self.input_channel,
+                output_channel=self.backbone_channels,
+                dtype=self.dtype,
+            )(x, train)
+        B, fh, fw, C = feat.shape
+        pad_w = _ceil_to(fw, self.patch_width) - fw
+        if pad_w:
+            feat = jnp.pad(feat, ((0, 0), (0, 0), (0, pad_w), (0, 0)))
+        gw = (fw + pad_w) // self.patch_width
+        tokens = nn.Conv(
+            self.embed_dim,
+            (1, self.patch_width),
+            strides=(1, self.patch_width),
+            padding="VALID",
+            dtype=self.dtype,
+            kernel_init=trunc_init,
+        )(feat)                       # (B, fh, gw, D)
+        tokens = tokens.mean(axis=1)  # mean over height (reference :229)
+        return tokens, (1, gw)
+
+
 class PatchEmbed(nn.Module):
     """Pure conv patch embedding, pads input up to a patch multiple
     (reference patchembed.py:9-48)."""
@@ -142,6 +195,7 @@ class ViTEncoder(nn.Module):
     depth: int = 6
     num_heads: int = 8
     patch_size: tuple[int, int] = (2, 2)
+    patching_style: str = "2d"   # '2d' | '1d' (TRIG, reference vit_encoder.py:121-204)
     max_grid: tuple[int, int] = (24, 24)
     backbone_name: Optional[str] = "resnet"
     backbone_channels: int = 512
@@ -157,7 +211,17 @@ class ViTEncoder(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         deterministic = not train
-        if self.backbone_name is None:
+        if self.patching_style == "1d":
+            tokens, grid = HybridEmbed1D(
+                self.patch_size[1],
+                self.embed_dim,
+                backbone_name=self.backbone_name or "resnet",
+                backbone_channels=self.backbone_channels,
+                input_channel=self.input_channel,
+                gcb=self.gcb,
+                dtype=self.dtype,
+            )(x, train)
+        elif self.backbone_name is None:
             tokens, grid = PatchEmbed(
                 self.patch_size, self.embed_dim, dtype=self.dtype
             )(x, train)

@@ -18,6 +18,7 @@ from typing import Any, Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 
@@ -79,6 +80,78 @@ def madgrad(
     return optax.GradientTransformation(init, update)
 
 
+class AdampState(NamedTuple):
+    count: jax.Array
+    mu: Any
+    nu: Any
+
+
+def adamp(
+    learning_rate: Callable | float,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+    weight_decay: float = 0.0,
+    delta: float = 0.1,
+    wd_ratio: float = 0.1,
+) -> optax.GradientTransformation:
+    """AdamP (clova; reference vendored ``doc2tex/modules/optim/adamp.py``):
+    Adam whose update is projected onto the tangent space of
+    scale-invariant weights (channel-wise) when the grad/param cosine
+    similarity is below delta/sqrt(dim), with weight decay damped by
+    wd_ratio on projected layers."""
+
+    def init(params):
+        z = jax.tree_util.tree_map(jnp.zeros_like, params)
+        return AdampState(jnp.zeros([], jnp.int32), z,
+                          jax.tree_util.tree_map(jnp.zeros_like, params))
+
+    def _project(p, perturb):
+        """Channel-wise projection (reference adamp.py:18-40)."""
+        if p.ndim < 2:
+            return perturb, 1.0
+        view = (p.shape[0], -1) if p.ndim > 1 else (1, -1)
+        pv = p.reshape(view)
+        gv = perturb.reshape(view)
+        dot = jnp.sum(pv * gv, axis=1)
+        cos = jnp.abs(dot) / (
+            jnp.linalg.norm(pv, axis=1) * jnp.linalg.norm(gv, axis=1) + eps
+        )
+        apply_proj = jnp.max(cos) < delta / np.sqrt(pv.shape[1])
+        p_n = pv / (jnp.linalg.norm(pv, axis=1, keepdims=True) + eps)
+        projected = gv - p_n * jnp.sum(p_n * gv, axis=1, keepdims=True)
+        out = jnp.where(apply_proj, projected, gv).reshape(p.shape)
+        wd = jnp.where(apply_proj, wd_ratio, 1.0)
+        return out, wd
+
+    def update(grads, state, params):
+        if params is None:
+            raise ValueError("adamp requires params")
+        count = state.count + 1
+        lr = learning_rate(state.count) if callable(learning_rate) else learning_rate
+        bc1 = 1.0 - b1 ** count.astype(jnp.float32)
+        bc2 = 1.0 - b2 ** count.astype(jnp.float32)
+        mu = jax.tree_util.tree_map(lambda m, g: b1 * m + (1 - b1) * g,
+                                    state.mu, grads)
+        nu = jax.tree_util.tree_map(lambda v, g: b2 * v + (1 - b2) * g * g,
+                                    state.nu, grads)
+
+        def upd(p, m, v):
+            denom = jnp.sqrt(v) / jnp.sqrt(bc2) + eps
+            step_size = lr / bc1
+            perturb = m / denom
+            perturb, wd = _project(p, perturb)
+            new_p_delta = -step_size * perturb
+            if weight_decay > 0:
+                new_p_delta = new_p_delta - lr * weight_decay * wd * p
+            return new_p_delta
+
+        updates = jax.tree_util.tree_map(upd, params, mu, nu)
+        return updates, AdampState(count, mu, nu)
+
+    return optax.GradientTransformation(init, update)
+
+
 def create_optimizer(
     params,
     opt: str = "adamw",
@@ -105,9 +178,7 @@ def create_optimizer(
     elif opt == "adam":
         tx = optax.adam(learning_rate)
     elif opt == "adamp":
-        # AdamP ~ AdamW with projection; optax has no adamp — use adamw with
-        # nesterov as the closest well-tested equivalent.
-        tx = optax.adamw(learning_rate, weight_decay=wd, mask=mask, nesterov=True)
+        tx = adamp(learning_rate, weight_decay=wd)
     elif opt == "adadelta":
         tx = optax.adadelta(learning_rate)
     elif opt == "adagrad":
@@ -125,14 +196,57 @@ def create_optimizer(
     if grad_clip and grad_clip > 0:
         chain.append(optax.clip_by_global_norm(grad_clip))
     chain.append(tx)
+    tx = optax.chain(*chain)
     if use_lookahead:
         # reference wraps with timm Lookahead (optim/lookahead.py)
-        inner = optax.chain(*chain)
-        return optax.lookahead(inner, sync_period=6, slow_step_size=0.5)
-    tx = optax.chain(*chain)
+        tx = lookahead(tx, sync_period=6, slow_step_size=0.5)
     if accum_grad > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=accum_grad)
     return tx
+
+
+class LookaheadState(NamedTuple):
+    count: jax.Array
+    slow: Any
+    inner: Any
+
+
+def lookahead(
+    inner: optax.GradientTransformation,
+    sync_period: int = 6,
+    slow_step_size: float = 0.5,
+) -> optax.GradientTransformation:
+    """timm-style Lookahead wrapper (reference ``optim/lookahead.py``):
+    every ``sync_period`` inner steps, pull fast weights toward the slow
+    copy by ``slow_step_size`` and reset fast = slow.  Self-contained (the
+    optax built-in needs special param wrapping)."""
+
+    def init(params):
+        return LookaheadState(
+            jnp.zeros([], jnp.int32), params, inner.init(params)
+        )
+
+    def update(grads, state, params):
+        updates, inner_state = inner.update(grads, state.inner, params)
+        count = state.count + 1
+        sync = (count % sync_period) == 0
+
+        def leaf(u, p, s):
+            fast = p + u
+            slow_new = s + slow_step_size * (fast - s)
+            final = jnp.where(sync, slow_new - p, u)
+            new_slow = jnp.where(sync, slow_new, s)
+            return final, new_slow
+
+        flat_u, treedef = jax.tree_util.tree_flatten(updates)
+        flat_p = jax.tree_util.tree_leaves(params)
+        flat_s = jax.tree_util.tree_leaves(state.slow)
+        outs = [leaf(u, p, s) for u, p, s in zip(flat_u, flat_p, flat_s)]
+        new_updates = jax.tree_util.tree_unflatten(treedef, [o[0] for o in outs])
+        new_slow = jax.tree_util.tree_unflatten(treedef, [o[1] for o in outs])
+        return new_updates, LookaheadState(count, new_slow, inner_state)
+
+    return optax.GradientTransformation(init, update)
 
 
 def optimizer_from_config(config, params):

@@ -72,3 +72,29 @@ def resize_for_inference(
     if ph or pw:
         img = np.pad(img, ((0, ph), (0, pw)), constant_values=255)
     return img
+
+
+def learned_resize(
+    img: np.ndarray,
+    predict_width_bucket,
+    bucket_px: int = 32,
+    max_iters: int = 10,
+    tol_px: int = 16,
+) -> np.ndarray:
+    """Learned-resizer loop (reference ``predict_utils.py:14-115`` +
+    ``demo/HybridViT/helper.py:164-195``): a width-bucket classifier
+    (``models.extras.LearnedResizer``) predicts the best target width;
+    resize and re-predict until stable or ``max_iters``.
+
+    ``predict_width_bucket(img_u8) -> int`` returns the bucket index
+    (target width = (idx + 1) * bucket_px).
+    """
+    for _ in range(max_iters):
+        idx = int(predict_width_bucket(img))
+        target_w = (idx + 1) * bucket_px
+        h, w = img.shape[:2]
+        if abs(target_w - w) <= tol_px:
+            break
+        new_h = max(int(round(h * target_w / w)), 1)
+        img = _resize_area(img, new_h, target_w)
+    return img

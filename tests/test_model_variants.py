@@ -121,3 +121,58 @@ class TestPosEncodings:
         x = jnp.ones((2, 24, 16))
         v = m.init(jax.random.PRNGKey(0), x, (4, 6))
         assert m.apply(v, x, (4, 6)).shape == (2, 24, 16)
+
+
+class TestTrig1D:
+    def test_trig_1d_encoder(self):
+        cfg = cnn_config("ResNet", "None", "TFM")
+        cfg["FeatureExtraction"] = {"name": "None"}
+        cfg["SequenceModeling"] = {
+            "name": "ViT",
+            "params": {
+                "backbone": {"name": "resnet", "input_channel": 1,
+                             "output_channel": 64, "gcb": False},
+                "fix_embed": False, "input_channel": 1,
+                "patching_style": "1d", "patch_size": [1, 2],
+                "depth": 2, "num_heads": 4, "hidden_size": 64,
+            },
+        }
+        cfg["Prediction"] = {
+            "name": "TFM",
+            "params": {"d_model": 64, "nhead": 4, "num_decoder_layers": 2,
+                       "dim_feedforward": 128, "dropout": 0.0},
+        }
+        model, variables = run_forward(cfg)
+        img = jnp.zeros((2, 32, 64, 1), jnp.float32)
+        enc = model.apply(variables, img, method="encode")
+        from doc2tex_tpu.models.vit import grid_size_for
+
+        gh, gw = grid_size_for((32, 64), (1, 2), "resnet", "1d")
+        assert gh == 1 and enc.shape == (2, gw + 1, 64)
+
+
+class TestFocalLoss:
+    def test_finite(self):
+        from doc2tex_tpu.detection import make_priors
+        from doc2tex_tpu.detection.loss import focal_loss
+
+        priors = jnp.asarray(make_priors()[:256])
+        rng = np.random.default_rng(0)
+        loc = jnp.asarray(rng.normal(size=(2, 256, 4)).astype(np.float32)) * 0.1
+        conf = jnp.asarray(rng.normal(size=(2, 256, 2)).astype(np.float32))
+        gt = jnp.asarray([[[0.1, 0.1, 0.4, 0.2]], [[0.5, 0.5, 0.9, 0.6]]])
+        valid = jnp.ones((2, 1), bool)
+        ll, lc = focal_loss(loc, conf, gt, valid, priors)
+        assert np.isfinite(float(ll)) and float(lc) > 0
+
+
+class TestLearnedResize:
+    def test_loop_converges(self):
+        from doc2tex_tpu.transforms.preprocess import learned_resize
+
+        img = np.full((40, 300), 255, np.uint8)
+        # always predict bucket 4 -> width 160
+        out = learned_resize(img, lambda im: 4)
+        assert out.shape[1] == 160
+        # aspect preserved-ish
+        assert abs(out.shape[0] - round(40 * 160 / 300)) <= 1
