@@ -114,6 +114,13 @@ def run_infer(config, dataset, log_path: str | None = None) -> dict:
 
     loader = BucketLoader(dataset, converter, config, train=False)
 
+    mesh = None
+    if jax.device_count() > 1:
+        from doc2tex_tpu.parallel import make_mesh
+
+        mesh = make_mesh()  # all chips on the data axis
+        print(f"sharding inference over {jax.device_count()} devices")
+
     class _State:
         pass
 
@@ -125,7 +132,7 @@ def run_infer(config, dataset, log_path: str | None = None) -> dict:
     t0 = time.time()
     result = validation(
         model, state, converter, loader, config,
-        eval_step=None, beam_size=beam,
+        eval_step=None, beam_size=beam, mesh=mesh,
         export_csv=(os.path.join(log_path, "predictions.csv") if log_path else None),
     )
     elapsed = time.time() - t0

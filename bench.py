@@ -30,6 +30,9 @@ FALLBACK_BASELINE_IPS = 0.9476  # reference CPU beam5 (tools/baseline_measured.j
 
 
 def main() -> None:
+    global BATCH, N_ITERS, BENCH_MAX_LEN
+    if "--quick" in sys.argv:
+        BATCH, N_ITERS, BENCH_MAX_LEN = 8, 2, 24
     import jax
 
     from __graft_entry__ import _flagship_config

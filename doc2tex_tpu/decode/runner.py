@@ -42,6 +42,7 @@ def make_decode_fn(
     beam_size: int = 1,
     max_steps: int | None = None,
     jit: bool = True,
+    mesh=None,
 ) -> Callable:
     """Build ``fn(variables, images_u8) -> (tokens (B, T), aux (B,))``.
 
@@ -49,6 +50,11 @@ def make_decode_fn(
     (reference ``Math_Transform`` eval path, ``engine/inferencing.py:53-56``)
     is fused into the same program.  ``aux`` is lengths for greedy, scores
     for beam.
+
+    With ``mesh`` (a ``jax.sharding.Mesh``), inputs are placed with
+    batch-axis sharding over the ``data`` axis before the jitted call —
+    multi-chip batched inference with XLA-inserted collectives.  The batch
+    must be divisible by the data-axis size (pad with white images).
     """
     pred_name = config["Prediction"]["name"]
     ids = token_ids_for(pred_name)
@@ -88,4 +94,15 @@ def make_decode_fn(
             start_token=ids.start, end_token=ids.end, pad_token=ids.pad,
         )
 
-    return jax.jit(run) if jit else run
+    if not jit:
+        return run
+    jitted = jax.jit(run)
+    if mesh is None:
+        return jitted
+
+    from ..parallel import shard_batch
+
+    def sharded(variables, images):
+        return jitted(variables, shard_batch(images, mesh))
+
+    return sharded

@@ -37,10 +37,16 @@ def validation(
     max_batches: Optional[int] = None,
     beam_size: int = 1,
     export_csv: Optional[str] = None,
+    mesh=None,
 ) -> dict[str, Any]:
-    """Run the full validation pass; returns the metric dict."""
+    """Run the full validation pass; returns the metric dict.
+
+    With ``mesh``, decode batches shard over the data axis (batches are
+    white-padded up to a multiple of the axis size and truncated after).
+    """
     variables = {"params": state.params, "batch_stats": state.batch_stats}
-    decode_fn = make_decode_fn(model, config, beam_size=beam_size)
+    decode_fn = make_decode_fn(model, config, beam_size=beam_size, mesh=mesh)
+    n_data = mesh.shape["data"] if mesh is not None else 1
     token_level = config.get("token_level", "word")
 
     loss_avg = Averager()
@@ -64,8 +70,15 @@ def validation(
         else:
             per_sample = np.zeros(len(batch.labels))
 
+        nb = len(batch.labels)
+        if n_data > 1 and nb % n_data:
+            pad_rows = n_data - nb % n_data
+            images = jnp.pad(
+                images, ((0, pad_rows), (0, 0), (0, 0), (0, 0)),
+                constant_values=255,
+            )
         out = decode_fn(variables, images)
-        tokens = np.asarray(out[0])
+        tokens = np.asarray(out[0])[:nb]
         pred_tokens = converter.detokenize(tokens)
         sep = " " if token_level == "word" else ""
         preds = [sep.join(t) for t in pred_tokens]

@@ -1,0 +1,82 @@
+"""Multi-device tests on the 8-virtual-CPU mesh: sharded train step,
+sharded batched inference, sharding rules."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from doc2tex_tpu.parallel import (
+    batch_sharding,
+    make_mesh,
+    param_shardings,
+    shard_batch,
+    shard_params,
+)
+from doc2tex_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+pytestmark = pytest.mark.skipif(
+    jax.device_count() < 8, reason="needs 8 virtual devices"
+)
+
+
+class TestMesh:
+    def test_default_all_data(self):
+        mesh = make_mesh()
+        assert mesh.shape[DATA_AXIS] == jax.device_count()
+        assert mesh.shape[MODEL_AXIS] == 1
+
+    def test_2d_mesh(self):
+        mesh = make_mesh({"data": 4, "model": 2})
+        assert mesh.shape[DATA_AXIS] == 4 and mesh.shape[MODEL_AXIS] == 2
+
+    def test_param_rules(self):
+        mesh = make_mesh({"data": 4, "model": 2})
+        params = {
+            "big": jnp.zeros((512, 512)),     # sharded on last dim
+            "small": jnp.zeros((4, 4)),        # below threshold -> replicated
+            "bias": jnp.zeros((512,)),         # 1-D -> replicated
+        }
+        sh = param_shardings(params, mesh, min_size=2**10)
+        assert str(sh["big"].spec) != str(sh["bias"].spec)
+        placed = shard_params(params, mesh, min_size=2**10)
+        assert placed["big"].sharding.spec[-1] == MODEL_AXIS
+
+    def test_shard_batch(self):
+        mesh = make_mesh({"data": 8, "model": 1})
+        x = np.zeros((16, 4), np.float32)
+        placed = shard_batch(x, mesh)
+        assert placed.sharding == batch_sharding(mesh)
+
+
+class TestShardedInference:
+    def test_sharded_decode_matches_single_device(self):
+        from tests.test_models import VOCAB_SIZE, tiny_vit_config
+        from doc2tex_tpu.decode.runner import make_decode_fn
+        from doc2tex_tpu.models import build_model
+
+        cfg = tiny_vit_config()
+        model = build_model(cfg, VOCAB_SIZE)
+        B = 8
+        img = np.random.default_rng(0).integers(
+            0, 255, (B, 32, 64, 1), dtype=np.uint8
+        )
+        variables = model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((B, 32, 64, 1), jnp.float32),
+            jnp.zeros((B, 13), jnp.int32),
+            False,
+        )
+        single = make_decode_fn(model, cfg, beam_size=2)
+        t1, _ = single(variables, jnp.asarray(img))
+
+        mesh = make_mesh({"data": 8, "model": 1})
+        sharded = make_decode_fn(model, cfg, beam_size=2, mesh=mesh)
+        t2, _ = sharded(variables, img)
+        np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+
+    def test_sharded_train_step_runs(self):
+        # covered end-to-end by __graft_entry__.dryrun_multichip
+        import __graft_entry__ as g
+
+        g.dryrun_multichip(8)
