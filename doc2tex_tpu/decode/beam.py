@@ -121,13 +121,21 @@ def beam_decode(
     finished0 = jnp.zeros((B, K), bool)
     cur0 = jnp.full((B * K,), start_token, jnp.int32)
     lengths0 = jnp.zeros((B, K), jnp.int32)
+    # finished-hypothesis store: the reference keeps EVERY completed
+    # hypothesis aside (complete_seqs, seq2seq.py:170-178); we keep the
+    # running length-normalized best so a finished beam can never be lost
+    # to slot eviction by a higher-scoring live continuation.
+    best_norm0 = jnp.full((B,), NEG_INF)
+    best_tokens0 = jnp.full((B, V_steps), pad_token, jnp.int32)
+    best_scores0 = jnp.full((B,), NEG_INF)
 
     def cond(carry):
-        state, tokens, scores, cur, finished, lengths, t = carry
+        (state, tokens, scores, cur, finished, lengths, t, *_rest) = carry
         return (t < max_steps) & ~finished.all()
 
     def body(carry):
-        state, tokens, scores, cur, finished, lengths, t = carry
+        (state, tokens, scores, cur, finished, lengths, t,
+         best_norm, best_tokens, best_scores) = carry
         state, logits = step_fn(state, cur)
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         logp = logp.reshape(B, K, -1)
@@ -162,18 +170,52 @@ def beam_decode(
         lengths = jnp.where(finished, lengths, lengths + 1)
         finished = finished | newly_done
 
+        # fold newly finished hypotheses into the store
+        cand_norm = jnp.where(
+            newly_done,
+            top_scores / (lengths + length_offset).astype(jnp.float32),
+            NEG_INF,
+        )
+        slot = jnp.argmax(cand_norm, axis=1)                    # (B,)
+        slot_norm = jnp.take_along_axis(cand_norm, slot[:, None], 1)[:, 0]
+        improved = slot_norm > best_norm
+        new_best_tokens = jnp.take_along_axis(
+            tokens, slot[:, None, None], axis=1
+        )[:, 0]
+        best_tokens = jnp.where(improved[:, None], new_best_tokens, best_tokens)
+        best_scores = jnp.where(
+            improved,
+            jnp.take_along_axis(top_scores, slot[:, None], 1)[:, 0],
+            best_scores,
+        )
+        best_norm = jnp.maximum(best_norm, slot_norm)
+
         cur = jnp.where(finished, pad_token, tok).reshape(B * K)
-        return (state, tokens, top_scores, cur, finished, lengths, t + 1)
+        return (state, tokens, top_scores, cur, finished, lengths, t + 1,
+                best_norm, best_tokens, best_scores)
 
-    carry = (init_state, tokens_buf, scores0, cur0, finished0, lengths0, jnp.int32(0))
-    _, tokens, scores, _, finished, lengths, _ = jax.lax.while_loop(cond, body, carry)
+    carry = (init_state, tokens_buf, scores0, cur0, finished0, lengths0,
+             jnp.int32(0), best_norm0, best_tokens0, best_scores0)
+    (_, tokens, scores, _, finished, lengths, _,
+     best_norm, store_tokens, store_scores) = jax.lax.while_loop(cond, body, carry)
 
-    # length-normalized selection among finished; fall back to beam 0
+    # length-normalized selection among finished slots, merged with the
+    # store; fall back to beam 0 when nothing ever finished
+    # (reference seq2seq.py:200-220)
     norm = scores / (lengths + length_offset).astype(jnp.float32)
     norm = jnp.where(finished, norm, NEG_INF)
-    any_finished = finished.any(axis=1)
     best = jnp.argmax(norm, axis=1)
-    best = jnp.where(any_finished, best, 0)
-    best_tokens = jnp.take_along_axis(tokens, best[:, None, None], axis=1)[:, 0]
-    best_scores = jnp.take_along_axis(scores, best[:, None], axis=1)[:, 0]
-    return best_tokens, best_scores
+    slot_norm = jnp.take_along_axis(norm, best[:, None], 1)[:, 0]
+    slot_tokens = jnp.take_along_axis(tokens, best[:, None, None], axis=1)[:, 0]
+    slot_scores = jnp.take_along_axis(scores, best[:, None], axis=1)[:, 0]
+
+    use_store = best_norm > slot_norm
+    out_tokens = jnp.where(use_store[:, None], store_tokens, slot_tokens)
+    out_scores = jnp.where(use_store, store_scores, slot_scores)
+
+    nothing_finished = ~(finished.any(axis=1) | (best_norm > NEG_INF / 2))
+    fallback_tokens = tokens[:, 0]
+    fallback_scores = scores[:, 0]
+    out_tokens = jnp.where(nothing_finished[:, None], fallback_tokens, out_tokens)
+    out_scores = jnp.where(nothing_finished, fallback_scores, out_scores)
+    return out_tokens, out_scores
