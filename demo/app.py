@@ -89,7 +89,17 @@ def _cli() -> None:
     from doc2tex_tpu.config import load_config
 
     cfg = load_config(args.recog_config) if args.recog_config else None
-    page = np.asarray(Image.open(args.image).convert("L"), np.uint8)
+    if args.image.lower().endswith(".pdf"):
+        # PDF page input (reference demo supports pdf2image uploads)
+        try:
+            from pdf2image import convert_from_path
+
+            pages = convert_from_path(args.image, first_page=1, last_page=1)
+            page = np.asarray(pages[0].convert("L"), np.uint8)
+        except ImportError:
+            raise SystemExit("PDF input needs the pdf2image package")
+    else:
+        page = np.asarray(Image.open(args.image).convert("L"), np.uint8)
     app = App(
         recog_config=cfg,
         recog_weights=args.recog_weights,

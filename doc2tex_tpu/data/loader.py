@@ -18,6 +18,7 @@ from CUDA side streams comes for free from JAX async dispatch).
 
 from __future__ import annotations
 
+import os
 import queue
 import threading
 from dataclasses import dataclass
@@ -127,6 +128,15 @@ class BucketLoader:
         self.token_level = config.get("token_level", "word")
         self.rng = np.random.default_rng(seed)
         self.prefetch = prefetch
+        workers = config.get("workers", 0) or 0
+        if workers is None or workers < 0:
+            workers = max((os.cpu_count() or 2) // 2, 1)
+        if workers > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._pool = ThreadPoolExecutor(max_workers=workers)
+        else:
+            self._pool = None
 
         # length filtering (reference torch_dataset.py:15-31)
         kept = []
@@ -149,25 +159,45 @@ class BucketLoader:
     def _tokens(self, label: str) -> list[str]:
         return label.split() if self.token_level == "word" else list(label)
 
+    def _prepare_one(self, i: int, bucket, aug_seed) -> np.ndarray:
+        img = self.dataset.image(i)
+        if img.ndim == 3:
+            img = np.round(img.astype(np.float32).mean(-1)).astype(np.uint8)
+        ds = self.config.get("downsample", 1) or 1
+        if ds > 1:
+            from ..transforms.preprocess import _resize_area
+
+            img = _resize_area(img, *self._target_size(img.shape[:2]))
+        if aug_seed is not None:
+            # p=0.5 geometric augmentation (reference collate_fn.py:22-24)
+            rng = np.random.default_rng(aug_seed)
+            if rng.random() < 0.5:
+                img = geometry_transform(img, rng)
+        h = min(img.shape[0], bucket[0])
+        w = min(img.shape[1], bucket[1])
+        return pad_to_bucket(img[:h, :w], bucket)
+
     def _assemble(self, bucket: tuple[int, int], idxs: list[int]) -> Batch:
         imgs = np.empty((len(idxs), *bucket, 1), np.uint8)
-        labels, names = [], []
         augment = self.train and self.config.get("augment", False)
-        for row, i in enumerate(idxs):
-            img = self.dataset.image(i)
-            if img.ndim == 3:
-                img = np.round(img.astype(np.float32).mean(-1)).astype(np.uint8)
-            ds = self.config.get("downsample", 1) or 1
-            if ds > 1:
-                from ..transforms.preprocess import _resize_area
-
-                img = _resize_area(img, *self._target_size(img.shape[:2]))
-            if augment and self.rng.random() < 0.5:
-                # p=0.5 geometric augmentation (reference collate_fn.py:22-24)
-                img = geometry_transform(img, self.rng)
-            h = min(img.shape[0], bucket[0])
-            w = min(img.shape[1], bucket[1])
-            imgs[row, :, :, 0] = pad_to_bucket(img[:h, :w], bucket)
+        seeds = (
+            [int(self.rng.integers(2**31)) for _ in idxs] if augment
+            else [None] * len(idxs)
+        )
+        if self._pool is not None and len(idxs) > 2:
+            # thread-pooled decode/augment/pad (the reference uses torch
+            # DataLoader worker processes, data/builder.py:18)
+            rows = list(
+                self._pool.map(
+                    lambda args: self._prepare_one(args[0], bucket, args[1]),
+                    zip(idxs, seeds),
+                )
+            )
+        else:
+            rows = [self._prepare_one(i, bucket, s) for i, s in zip(idxs, seeds)]
+        labels, names = [], []
+        for row, (i, arr) in enumerate(zip(idxs, rows)):
+            imgs[row, :, :, 0] = arr
             labels.append(self.dataset.label(i))
             names.append(self.dataset.name(i))
         text, lengths = self.converter.encode(

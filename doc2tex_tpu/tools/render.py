@@ -178,3 +178,51 @@ def render_dataset(
                     continue
         results.update({start + i: p for i, p in got.items()})
     return results
+
+
+def installed_math_fonts(tex_path: str = "/usr/share/texmf") -> list[str]:
+    """Discover installed OpenType math fonts for xelatex font cycling
+    (reference ``xelatex_render.py:14-33``); falls back to Latin Modern."""
+    import glob
+
+    fonts = [
+        os.path.basename(p)
+        for p in glob.glob(os.path.join(tex_path, "**", "*Math*.otf"), recursive=True)
+    ]
+    fonts.extend(["Latin Modern Math"] * max(len(fonts), 1))
+    return fonts
+
+
+XELATEX_DOC_TEMPLATE = r"""\documentclass[preview]{standalone}
+\usepackage{amsmath}
+\usepackage{unicode-math}
+\setmathfont{%s}
+\begin{document}
+%s
+\end{document}
+"""
+
+
+def render_formulas_xelatex(
+    formulas: Sequence[str],
+    out_dir: str,
+    fonts: Optional[Sequence[str]] = None,
+    rng_seed: int = 0,
+    **kwargs,
+) -> dict[int, str]:
+    """xelatex variant with per-batch font cycling
+    (reference ``xelatex_render.py``): each call picks the next font from
+    the installed-math-font pool, diversifying the rendered glyphs."""
+    import random
+
+    if XELATEX is None:
+        raise RenderError("xelatex binary not available")
+    fonts = list(fonts) if fonts else installed_math_fonts()
+    font = fonts[random.Random(rng_seed).randrange(len(fonts))]
+    global DOC_TEMPLATE
+    saved = DOC_TEMPLATE
+    try:
+        DOC_TEMPLATE = XELATEX_DOC_TEMPLATE % (font, "%s")
+        return render_formulas(formulas, out_dir, engine="xelatex", **kwargs)
+    finally:
+        DOC_TEMPLATE = saved
