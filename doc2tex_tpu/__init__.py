@@ -19,3 +19,27 @@ Design stance (TPU-first, not a port):
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):  # lazy top-level API (avoids importing jax at pkg import)
+    if name in ("load_config", "make_config"):
+        from . import config as _c
+
+        return getattr(_c, name)
+    if name == "build_model":
+        from .models import build_model
+
+        return build_model
+    if name == "create_converter":
+        from .tokenizer.converters import create_converter
+
+        return create_converter
+    if name == "make_decode_fn":
+        from .decode.runner import make_decode_fn
+
+        return make_decode_fn
+    if name in ("train", "init_training", "validation"):
+        from . import engine as _e
+
+        return getattr(_e, name)
+    raise AttributeError(name)

@@ -149,6 +149,10 @@ def train(config, log_dir: str = "saved_models/run") -> dict:
             val = validation(
                 b.model, state, b.converter, valid_loader, config,
                 eval_step=b.eval_step, max_batches=(1 if sanity else None),
+                export_csv=(
+                    os.path.join(log_dir, f"preds_iter{it}.csv")
+                    if config.get("export_csv") else None
+                ),  # per-validation CSV (reference inferencing.py:34-42)
             )
             last_metrics = val
             logger.info(

@@ -140,3 +140,39 @@ def decoder_attention_maps(
             alpha = alpha[1:]
         maps.append(alpha[: grid_hw[0] * grid_hw[1]].reshape(grid_hw))
     return maps
+
+
+def select_samples(rows, condition: str | None = None, seed: int = 0):
+    """Sample-selection condition DSL (reference ``get_test_sample``,
+    ``interpretation/visualization.py:218-268`` + ``config.py:4-51``):
+    conditions like ``"(len < 50 & len > 30)%iscorrect: True"`` filter
+    prediction rows by token length and correctness.
+
+    ``rows``: iterable of dicts with 'name', 'pred', 'label' and optional
+    'iscorrect'.  Returns the matching rows (shuffled deterministically).
+    """
+    import random
+    import re as _re
+
+    rows = [dict(r, len=len(str(r.get("pred", "")).split())) for r in rows]
+    if condition:
+        m = _re.search(r"\((.*)\)", condition)
+        if m:
+            clauses = [c.strip() for c in m.group(1).split("&")]
+            for clause in clauses:
+                cm = _re.match(r"len\s*(<=|>=|<|>|==)\s*(\d+)", clause)
+                if not cm:
+                    continue
+                op, val = cm.group(1), int(cm.group(2))
+                ops = {
+                    "<": lambda a, b: a < b, ">": lambda a, b: a > b,
+                    "<=": lambda a, b: a <= b, ">=": lambda a, b: a >= b,
+                    "==": lambda a, b: a == b,
+                }[op]
+                rows = [r for r in rows if ops(r["len"], val)]
+        im = _re.search(r"%iscorrect:\s*(\w+)", condition)
+        if im:
+            want = im.group(1).lower() == "true"
+            rows = [r for r in rows if bool(r.get("iscorrect", False)) == want]
+    random.Random(seed).shuffle(rows)
+    return rows

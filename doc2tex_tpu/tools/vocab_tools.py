@@ -94,3 +94,39 @@ def augment_rare_tokens(
             current.update(line.split())
             i += 1
     return extra
+
+
+def recheck_queue(
+    label_rows: Sequence[tuple[str, str]],
+    vocab: Sequence[str],
+) -> list[tuple[str, str, list[str]]]:
+    """Labels needing manual recheck: rows whose tokens fall outside the
+    vocab (reference ``get_recheck_textline.py`` /
+    ``process_recheck_textline.py`` queue construction).
+
+    ``label_rows``: (name, label) pairs.  Returns (name, label,
+    offending_tokens) for each flagged row.
+    """
+    vocab_set = set(vocab)
+    out = []
+    for name, label in label_rows:
+        bad = [t for t in label.split() if t not in vocab_set]
+        if bad:
+            out.append((name, label, bad))
+    return out
+
+
+def apply_recheck_fixes(
+    label_rows: Sequence[tuple[str, str]],
+    fixes: dict[str, str],
+) -> list[tuple[str, str]]:
+    """Merge rechecked labels back (reference process_recheck_textline):
+    ``fixes`` maps name -> corrected label; empty string drops the row."""
+    out = []
+    for name, label in label_rows:
+        if name in fixes:
+            if fixes[name]:
+                out.append((name, fixes[name]))
+        else:
+            out.append((name, label))
+    return out
