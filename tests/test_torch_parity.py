@@ -218,3 +218,107 @@ class TestParity:
             j_cut = j_row[: j_row.index(1) + 1] if 1 in j_row else j_row
             assert j_cut == t_seq[: len(j_cut)], f"batch {b}: {j_cut} vs {t_seq}"
         ref.predicter.config["beam_size"] = 1  # restore for other tests
+
+
+def ref_tfm_config(device):
+    cfg = ref_config(device)
+    cfg["Prediction"] = {
+        "name": "TFM",
+        "params": {
+            "d_model": 64, "nhead": 4, "num_decoder_layers": 2,
+            "dim_feedforward": 128, "dropout": 0.0,
+            "max_seq_len": 12, "padding_idx": 0,
+        },
+    }
+    return cfg
+
+
+def our_tfm_config():
+    cfg = our_config()
+    cfg["Prediction"] = {
+        "name": "TFM",
+        "params": {
+            "d_model": 64, "nhead": 4, "num_decoder_layers": 2,
+            "dim_feedforward": 128, "dropout": 0.0,
+        },
+    }
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def tfm_models():
+    from doc2tex.modules.build_model import Model as RefModel
+
+    device = torch.device("cpu")
+    torch.manual_seed(1)
+    ref = RefModel(ref_tfm_config(device)).to(device).eval()
+
+    cfg = our_tfm_config()
+    ours = build_model(cfg, V)
+    img = jnp.zeros((2, H_IMG, W_IMG, 1), jnp.float32)
+    txt = jnp.zeros((2, 13), jnp.int32)
+    variables = ours.init(jax.random.PRNGKey(0), img, txt, False)
+
+    sd = {k: v.numpy() for k, v in ref.state_dict().items()}
+    params, stats, missing = import_torch_state_dict(
+        sd, cfg, variables["params"], variables.get("batch_stats", {})
+    )
+    assert not missing, f"unmapped template params: {missing}"
+    return ref, ours, {"params": params, "batch_stats": stats}
+
+
+class TestTFMParity:
+    def test_teacher_forced_logits_match(self, tfm_models, image):
+        """Decoder-only compare on shared memory: the reference's
+        teacher-forced branch requires .train() mode (tfm.py:103), which
+        would flip the ResNet BN to batch stats; so encode in eval mode on
+        both sides and run only the prediction head in train mode."""
+        ref, ours, variables = tfm_models
+        text = np.random.default_rng(3).integers(1, V, size=(2, 12)).astype(np.int64)
+
+        with torch.no_grad():
+            t_enc = ref.forward_encoder(
+                torch.from_numpy(np.transpose(image, (0, 3, 1, 2)))
+            )
+            t_enc = t_enc[0] if isinstance(t_enc, tuple) else t_enc
+            ref.predicter.Prediction.train()
+            _, t_logits = ref.predicter.Prediction.forward_greedy(
+                t_enc, torch.from_numpy(text)
+            )
+            ref.predicter.Prediction.eval()
+
+        j_enc = ours.apply(variables, jnp.asarray(image), method="encode")
+        j_logits = ours.apply(
+            variables, j_enc, jnp.asarray(text.astype(np.int32)), False,
+            method=lambda m, e, t, tr: m.predicter(e, t, tr),
+        )
+        np.testing.assert_allclose(
+            np.asarray(j_logits), t_logits.detach().numpy(), rtol=2e-3, atol=1e-3
+        )
+
+    def test_greedy_decode_tokens_match(self, tfm_models, image):
+        ref, ours, variables = tfm_models
+        from doc2tex_tpu.decode.runner import make_decode_fn
+
+        # reference eval greedy grows tgt from the provided start column
+        tgt0 = torch.full((2, 1), 1, dtype=torch.long)  # [GO]=1 (TFM family)
+        with torch.no_grad():
+            t_out = ref(
+                torch.from_numpy(np.transpose(image, (0, 3, 1, 2))),
+                tgt0, is_train=False, is_test=True,
+            )
+        t_tokens = t_out[0].numpy()
+
+        cfg = our_tfm_config()
+        raw = np.clip((image * 0.5 + 0.5) * 255.0, 0, 255)
+        decode = make_decode_fn(ours, cfg, beam_size=1, max_steps=12)
+        j_tokens, _ = decode(variables, jnp.asarray(raw))
+        j_tokens = np.asarray(j_tokens)
+
+        for b in range(2):
+            t_row = t_tokens[b].tolist()
+            j_row = j_tokens[b].tolist()
+            # ours pads after [s]=2; reference preds_index includes per-pos
+            # argmax of the grown sequence
+            j_cut = j_row[: j_row.index(2) + 1] if 2 in j_row else j_row
+            assert t_row[: len(j_cut)] == j_cut, f"b={b}: {t_row[:8]} vs {j_cut[:8]}"
