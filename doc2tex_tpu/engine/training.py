@@ -128,12 +128,17 @@ def train(config, log_dir: str = "saved_models/run") -> dict:
     t_start = time.time()
     it = b.start_iter
 
+    from ..utils.profiling import StepTimer
+
+    timer = StepTimer()
     data_iter = train_loader.infinite()
     while it < num_iter:
         batch = next(data_iter)
-        state, metrics = b.train_step(
-            state, jnp.asarray(batch.images), jnp.asarray(batch.text), rng
-        )
+        with timer.step(batch.bucket):
+            state, metrics = b.train_step(
+                state, jnp.asarray(batch.images), jnp.asarray(batch.text), rng
+            )
+            metrics["loss"].block_until_ready()
         it += 1
         loss_avg.add(float(metrics["loss"]))
 
@@ -178,4 +183,6 @@ def train(config, log_dir: str = "saved_models/run") -> dict:
             logger.info("sanity check complete")
             break
 
+    for key, row in timer.summary().items():
+        logger.info(f"bucket {key}: {row}")
     return last_metrics

@@ -99,3 +99,42 @@ class TestRecheck:
         assert len(q) == 1 and q[0][0] == "b" and q[0][2] == ["\\weird"]
         fixed = apply_recheck_fixes(rows, {"b": "x + y", "a": ""})
         assert fixed == [("b", "x + y")]
+
+
+class TestDetectionEval:
+    def test_perfect_match(self):
+        from doc2tex_tpu.detection.evaluate import evaluate_detections
+
+        gt = np.asarray([[10, 10, 50, 30], [60, 60, 100, 90]], np.float32)
+        preds = [(gt.copy(), np.asarray([0.9, 0.8]))]
+        out = evaluate_detections(preds, [gt])
+        assert out["f1@0.5"] == 1.0 and out["precision@0.75"] == 1.0
+
+    def test_fp_fn(self):
+        from doc2tex_tpu.detection.evaluate import evaluate_detections
+
+        gt = np.asarray([[10, 10, 50, 30]], np.float32)
+        preds = [(np.asarray([[200, 200, 250, 230]], np.float32),
+                  np.asarray([0.9]))]
+        out = evaluate_detections(preds, [gt])
+        assert out["precision@0.5"] == 0.0 and out["recall@0.5"] == 0.0
+
+    def test_partial_iou(self):
+        from doc2tex_tpu.detection.evaluate import evaluate_detections
+
+        gt = np.asarray([[0, 0, 100, 100]], np.float32)
+        pred = np.asarray([[0, 0, 100, 60]], np.float32)  # IoU = 0.6
+        out = evaluate_detections([(pred, np.asarray([0.9]))], [gt])
+        assert out["recall@0.5"] == 1.0 and out["recall@0.75"] == 0.0
+
+
+class TestStepTimer:
+    def test_compile_isolated(self):
+        from doc2tex_tpu.utils.profiling import StepTimer
+
+        t = StepTimer()
+        for _ in range(3):
+            with t.step(("a",)):
+                pass
+        s = t.summary()["('a',)"]
+        assert s["steps"] == 2 and "compile_s" in s
