@@ -143,7 +143,11 @@ class LSTMAttentionDecoder(nn.Module):
         return jax.nn.one_hot(tokens, self.num_classes, dtype=jnp.float32)
 
     def init_state(self, batch_H) -> DecoderState:
-        enc, init_emb = self._split_enc(batch_H.astype(jnp.float32))
+        # attention memory kept in the compute dtype: enc/enc_proj reads
+        # dominate decode-step HBM traffic (bf16 halves it); scores/softmax
+        # and the LSTM carry stay f32 below
+        enc, init_emb = self._split_enc(batch_H.astype(self.dtype))
+        init_emb = init_emb.astype(jnp.float32)
         B, S, _ = enc.shape
         H = self.hidden_size
         if self.enc_init:
@@ -155,7 +159,9 @@ class LSTMAttentionDecoder(nn.Module):
         if self.attn_type == "luong":
             enc_proj = jnp.zeros((B, S, H), jnp.float32)  # unused by luong
         else:
-            enc_proj = enc @ self.w_key + self.b_key
+            enc_proj = (
+                enc @ self.w_key.astype(self.dtype) + self.b_key
+            ).astype(self.dtype)
         zeros = jnp.zeros((B, S), jnp.float32)
         return DecoderState(h, c, zeros, zeros, enc, enc_proj)
 
