@@ -24,7 +24,10 @@ def warmup_cosine_schedule(
     """Returns f(step) -> lr replicating the reference's per-step math."""
 
     def schedule(step):
-        epoch = step / steps_per_epoch
+        # clamp at the horizon: the reference's raw cosine re-rises if
+        # stepped past num_iter (model_utils.py:99-117 is never run past it);
+        # we hold min_lr instead so overruns stay sane
+        epoch = jnp.minimum(step / steps_per_epoch, total_epochs)
         warm = base_lr * epoch / jnp.maximum(warmup_epochs, 1e-8)
         denom = jnp.maximum(total_epochs - warmup_epochs, 1e-8)
         cos = min_lr + (base_lr - min_lr) * 0.5 * (
