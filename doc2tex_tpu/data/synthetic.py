@@ -31,6 +31,25 @@ def make_vocab_file(path: str) -> list[str]:
     return list(SYNTH_VOCAB)
 
 
+_GLYPH_CACHE: dict[int, np.ndarray] = {}
+_GLYPH_H, _GLYPH_W = 12, 8
+
+
+def _token_glyph(token_id: int) -> np.ndarray:
+    """Deterministic binary glyph for a token id (12x8).
+
+    Each token renders as a unique, stable pixel pattern, so the label IS
+    decodable from the image — synthetic training can reach ~100% exact
+    match, which is what makes convergence tests meaningful."""
+    g = _GLYPH_CACHE.get(token_id)
+    if g is None:
+        rng = np.random.default_rng(1000 + token_id)
+        g = (rng.random((_GLYPH_H, _GLYPH_W)) < 0.45).astype(np.uint8)
+        g[0, :] = 1  # top bar anchors vertical alignment
+        _GLYPH_CACHE[token_id] = g
+    return g
+
+
 def synth_sample(
     rng: np.random.Generator,
     min_len: int = 3,
@@ -38,21 +57,30 @@ def synth_sample(
     min_h: int = 24,
     max_h: int = 120,
 ) -> tuple[np.ndarray, str]:
-    """One (image, label) pair.  Image is uint8 (H, W), white bg, dark ink
-    blobs; width loosely scales with token count like rendered formulas."""
+    """One (image, label) pair: uint8 (H, W) white background with one
+    deterministic dark glyph per token laid out left-to-right (plus random
+    scale/offset jitter), widths scaling with token count like rendered
+    formulas."""
     n_tok = int(rng.integers(min_len, max_len + 1))
-    toks = [SYNTH_VOCAB[int(rng.integers(len(SYNTH_VOCAB)))] for _ in range(n_tok)]
+    tok_ids = [int(rng.integers(len(SYNTH_VOCAB))) for _ in range(n_tok)]
+    toks = [SYNTH_VOCAB[i] for i in tok_ids]
     h = int(rng.integers(min_h, max_h + 1))
-    w = int(np.clip(n_tok * rng.integers(8, 20) + rng.integers(0, 30), 32, 900))
+    # glyph scale fits the canvas height with jitter
+    scale = max(int(rng.integers(1, max(h // _GLYPH_H, 2))), 1)
+    gh, gw = _GLYPH_H * scale, _GLYPH_W * scale
+    gap = int(rng.integers(1, 4)) * scale // 2 + 1
+    w = int(np.clip(n_tok * (gw + gap) + 2 * gap + int(rng.integers(0, 20)), 32, 900))
     img = np.full((h, w), 255, dtype=np.uint8)
-    # draw one dark blob per token
-    for i in range(n_tok):
-        cx = int((i + 0.5) / n_tok * w)
-        bw = int(rng.integers(3, 10))
-        bh = int(rng.integers(h // 4, max(h // 2, h // 4 + 1)))
-        y0 = int(rng.integers(0, max(h - bh, 1)))
-        x0 = max(cx - bw // 2, 0)
-        img[y0 : y0 + bh, x0 : x0 + bw] = rng.integers(0, 80)
+    y0 = int(rng.integers(0, max(h - gh, 1)))
+    ink = int(rng.integers(0, 60))
+    x = gap
+    for tid in tok_ids:
+        if x + gw > w:
+            break
+        glyph = np.kron(_token_glyph(tid), np.ones((scale, scale), np.uint8))
+        region = img[y0 : y0 + gh, x : x + gw]
+        region[glyph[: region.shape[0], : region.shape[1]] > 0] = ink
+        x += gw + gap
     return img, " ".join(toks)
 
 
