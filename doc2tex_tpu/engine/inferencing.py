@@ -105,12 +105,15 @@ def validation(
     word_ed = get_word_NED(preds_all, gts_all) if preds_all else 0.0
 
     if export_csv:
+        # column set matches the reference prediction CSV consumed by the
+        # viz selection DSL (engine/inferencing.py:34-42: name, pred,
+        # label, ed, iscorrect)
         os.makedirs(os.path.dirname(export_csv) or ".", exist_ok=True)
         with open(export_csv, "w", newline="") as f:
             w = csv.writer(f)
-            w.writerow(["name", "gold", "pred"])
+            w.writerow(["name", "pred", "label", "ed", "iscorrect"])
             for nm, g, p in zip(names_all, gts_all, preds_all):
-                w.writerow([nm, g, p])
+                w.writerow([nm, p, g, round(get_single_ED(g, p), 4), int(p == g)])
 
     return {
         "loss": loss_avg.val(),

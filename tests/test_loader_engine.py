@@ -172,3 +172,27 @@ class TestEngine:
         )
         b = init_training(cfg2)
         assert b.start_iter >= 1
+
+
+class TestConfigs:
+    def test_shipped_yaml_configs_parse(self):
+        from doc2tex_tpu.config import load_config
+
+        for path in ("config/train.yaml", "config/test.yaml",
+                     "config/train_synth.yaml"):
+            cfg = load_config(path)
+            assert cfg["SequenceModeling"]["name"] == "ViT"
+            assert cfg["batch_max_length"] > 0
+
+    def test_export_csv_columns(self, tmp_path):
+        import csv as _csv
+
+        from doc2tex_tpu.engine import train
+
+        cfg = small_config(sanity_check=True, export_csv=True)
+        train(cfg, str(tmp_path / "run"))
+        csvs = list((tmp_path / "run").glob("preds_iter*.csv"))
+        assert csvs
+        with open(csvs[0]) as f:
+            header = next(_csv.reader(f))
+        assert header == ["name", "pred", "label", "ed", "iscorrect"]
