@@ -176,3 +176,34 @@ class TestLearnedResize:
         assert out.shape[1] == 160
         # aspect preserved-ish
         assert abs(out.shape[0] - round(40 * 160 / 300)) <= 1
+
+
+class TestTFMBeamPath:
+    def test_beam1_matches_greedy_tfm(self):
+        """TFM-head beam decode (tfm_gather over (L,B,T,...) caches) is
+        self-consistent: beam_size=1 must reproduce greedy tokens."""
+        from tests.test_models import tfm_config, VOCAB_SIZE
+        from doc2tex_tpu.decode.runner import make_decode_fn
+        from doc2tex_tpu.models import build_model
+
+        cfg = tfm_config()
+        model = build_model(cfg, VOCAB_SIZE)
+        img = np.random.default_rng(5).integers(
+            0, 255, (3, 32, 64, 1), dtype=np.uint8
+        )
+        variables = model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((3, 32, 64, 1), jnp.float32),
+            jnp.zeros((3, 9), jnp.int32),
+            False,
+        )
+        greedy = make_decode_fn(model, cfg, beam_size=1, max_steps=9)
+        tg, _ = greedy(variables, jnp.asarray(img))
+        beam = make_decode_fn(model, cfg, beam_size=3, max_steps=9)
+        tb, scores = beam(variables, jnp.asarray(img))
+        assert tb.shape == tg.shape
+        assert np.isfinite(np.asarray(scores)).all()
+        # with K=1 the beam path must equal greedy exactly
+        beam1 = make_decode_fn(model, cfg, beam_size=1, max_steps=9)
+        t1, _ = beam1(variables, jnp.asarray(img))
+        np.testing.assert_array_equal(np.asarray(t1), np.asarray(tg))
