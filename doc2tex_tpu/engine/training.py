@@ -13,6 +13,7 @@ validation decodes greedily on device and computes token metrics on host.
 
 from __future__ import annotations
 
+import contextlib
 import os
 import time
 from dataclasses import dataclass
@@ -131,18 +132,30 @@ def train(config, log_dir: str = "saved_models/run") -> dict:
     from ..utils.profiling import StepTimer
 
     timer = StepTimer()
+    seen_buckets: set = set()
+    pending_losses: list = []
     data_iter = train_loader.infinite()
     while it < num_iter:
         batch = next(data_iter)
-        with timer.step(batch.bucket):
+        # sync only on a bucket's first step (isolates compile time) and at
+        # log boundaries — a per-step host sync would serialize the loop
+        # (the device queue otherwise overlaps host data prep with compute)
+        first = batch.bucket not in seen_buckets
+        seen_buckets.add(batch.bucket)
+        sync = first or ((it + 1) % log_interval == 0) or sanity
+        with timer.step(batch.bucket) if sync else contextlib.nullcontext():
             state, metrics = b.train_step(
                 state, jnp.asarray(batch.images), jnp.asarray(batch.text), rng
             )
-            metrics["loss"].block_until_ready()
+            if sync:
+                metrics["loss"].block_until_ready()
         it += 1
-        loss_avg.add(float(metrics["loss"]))
+        pending_losses.append(metrics["loss"])
 
         if it % log_interval == 0 or sanity:
+            for x in pending_losses:
+                loss_avg.add(float(x))
+            pending_losses.clear()
             logger.info(
                 f"[{it}/{num_iter}] loss: {loss_avg.val():.5f} "
                 f"bucket: {batch.bucket} elapsed: "
