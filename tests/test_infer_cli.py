@@ -1,0 +1,61 @@
+"""Infer CLI surface: CSV manifest + image dir -> metrics (CPU)."""
+
+import csv
+import os
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from api.infer import load_csv_dataset, run_infer
+from doc2tex_tpu.data.synthetic import synth_dataset
+from tests.test_loader_engine import small_config
+
+
+@pytest.fixture(scope="module")
+def manifest(tmp_path_factory):
+    PIL = pytest.importorskip("PIL")
+    from PIL import Image
+
+    root = tmp_path_factory.mktemp("infer")
+    img_dir = root / "imgs"
+    img_dir.mkdir()
+    images, labels = synth_dataset(10, seed=9, max_len=10, max_h=56)
+    csv_path = root / "labels.tsv"
+    with open(csv_path, "w", newline="") as f:
+        w = csv.writer(f, delimiter="\t")
+        for i, (img, label) in enumerate(zip(images, labels)):
+            name = f"img{i:03d}.png"
+            Image.fromarray(img).save(img_dir / name)
+            w.writerow([name, label])
+    return str(csv_path), str(img_dir)
+
+
+class TestInferCLI:
+    def test_csv_dataset_and_run(self, manifest, tmp_path):
+        csv_path, img_dir = manifest
+        cfg = small_config(downsample=1)
+        cfg["beam_size"] = 1
+        ds = load_csv_dataset(csv_path, img_dir, cfg)
+        assert len(ds) == 10
+        res = run_infer(cfg, ds, log_path=str(tmp_path))
+        assert res["n_samples"] == 10
+        assert 0.0 <= res["accuracy"] <= 1.0
+        assert os.path.exists(tmp_path / "predictions.csv")
+        assert res["images_per_sec"] > 0
+
+    def test_missing_images_skipped(self, manifest):
+        csv_path, img_dir = manifest
+        cfg = small_config(downsample=1)
+        with open(csv_path) as f:
+            rows = list(csv.reader(f, delimiter="\t"))
+        rows.append(["missing.png", "x"])
+        import tempfile
+
+        with tempfile.NamedTemporaryFile("w", suffix=".tsv", delete=False) as f2:
+            csv.writer(f2, delimiter="\t").writerows(rows)
+        ds = load_csv_dataset(f2.name, img_dir, cfg)
+        assert len(ds) == 10  # missing row dropped
