@@ -74,8 +74,16 @@ def init_training(config, rng: Optional[jax.Array] = None) -> TrainingBundle:
     start_iter = 0
 
     if config.get("resume_path"):
-        state, meta = load_checkpoint(config["resume_path"], state)
-        start_iter = int(meta.get("iter", int(state.step)))
+        try:
+            state, meta = load_checkpoint(config["resume_path"], state)
+            start_iter = int(meta.get("iter", int(state.step)))
+        except Exception as e:  # fall back to fresh state (reference
+            # model_utils.py:227-235 resume try/except)
+            import logging
+
+            logging.getLogger("doc2tex_tpu").warning(
+                f"resume failed ({e}); starting fresh"
+            )
     elif config.get("pretrained_weight"):
         params, stats = load_pretrained_params(
             config["pretrained_weight"], state.params

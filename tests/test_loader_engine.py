@@ -196,3 +196,14 @@ class TestConfigs:
         with open(csvs[0]) as f:
             header = next(_csv.reader(f))
         assert header == ["name", "pred", "label", "ed", "iscorrect"]
+
+    def test_resume_fallback_on_corrupt(self, tmp_path):
+        """Corrupt checkpoint -> fresh start, not a crash (reference
+        model_utils.py:227-235)."""
+        from doc2tex_tpu.engine import init_training
+
+        bad = tmp_path / "bad.msgpack"
+        bad.write_bytes(b"not a checkpoint")
+        cfg = small_config(resume_path=str(bad))
+        b = init_training(cfg)
+        assert b.start_iter == 0
