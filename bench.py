@@ -35,6 +35,14 @@ def main() -> None:
         BATCH, N_ITERS, BENCH_MAX_LEN = 8, 2, 24
     import jax
 
+    # persistent compile cache: repeat bench runs skip the 30-200s XLA
+    # compiles (safe to share; keyed by program hash)
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     from __graft_entry__ import _flagship_config
     from doc2tex_tpu.data.synthetic import synth_sample
     from doc2tex_tpu.decode.runner import make_decode_fn

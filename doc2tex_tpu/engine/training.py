@@ -104,6 +104,11 @@ def train(config, log_dir: str = "saved_models/run") -> dict:
     Returns the final metric dict (for tests / sanity checks).
     """
     logger = setup_logger(log_dir)
+    try:  # persistent XLA compile cache across runs (per-bucket programs)
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     b = init_training(config)
     logger.info(
         f"model: {param_count(b.state.params)/1e6:.2f}M params, "
