@@ -31,10 +31,10 @@ from doc2tex_tpu.train.checkpoint import load_pretrained_params, save_checkpoint
 from doc2tex_tpu.engine.inferencing import validation
 
 
-def main(steps: int = 4000, n_train: int = 512, n_eval: int = 64) -> None:
+def main(steps: int = 16000, n_train: int = 4096, n_eval: int = 64) -> None:
     cfg = make_config(dict(
         max_dimension=[64, 512], min_dimension=[32, 32], batch_max_length=24,
-        batch_size=32, augment=False,
+        batch_size=32, augment=True,
         FeatureExtraction={"name": "None"},
         SequenceModeling={"name": "ViT", "params": {
             "backbone": {"name": "resnet", "input_channel": 1,
@@ -93,6 +93,12 @@ def main(steps: int = 4000, n_train: int = 512, n_eval: int = 64) -> None:
     s = S()
     s.params = params2
     s.batch_stats = batch_stats
+    # train-subset EM (memorization diagnostic) vs held-out EM (generalization)
+    tr_eval = BucketLoader(ArrayDataset(tr_images[:64], tr_labels[:64]), conv,
+                           cfg, train=False, prefetch=0)
+    res_tr = validation(model, s, conv, tr_eval, cfg, beam_size=1)
+    print(f"TRAIN-SUBSET greedy: EM {res_tr['accuracy']:.3f}", flush=True)
+
     eval_loader = BucketLoader(ArrayDataset(ev_images, ev_labels), conv, cfg,
                                train=False, prefetch=0)
     t0 = time.time()
