@@ -130,6 +130,36 @@ def train(config, log_dir: str = "saved_models/run") -> dict:
     keeper = BestCheckpointKeeper(log_dir)
     loss_avg = Averager()
     state = b.state
+
+    # data-parallel training when >1 device: params replicated, batches
+    # sharded on the mesh's data axis (XLA inserts the gradient psum).
+    # The reference's analog is the vestigial batch_size x num_gpu scaling
+    # (api/train.py:161-162) that never actually wrapped the model.
+    mesh = None
+    n_data = 1
+    if jax.device_count() > 1 and config.get("use_dp", True):
+        from ..parallel import make_mesh, shard_batch
+        from ..parallel.mesh import replicated_sharding
+
+        mesh_shape = config.get("mesh_shape")
+        mesh = make_mesh(mesh_shape if isinstance(mesh_shape, dict) else None)
+        n_data = mesh.shape["data"]
+        rep = replicated_sharding(mesh)
+        state = jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), state)
+        logger.info(f"data-parallel training over {n_data} devices")
+
+    def place_batch(images, text):
+        if mesh is None:
+            return jnp.asarray(images), jnp.asarray(text)
+        from ..parallel import shard_batch
+
+        nb = images.shape[0]
+        if nb % n_data:
+            pad = n_data - nb % n_data
+            images = np.pad(images, ((0, pad), (0, 0), (0, 0), (0, 0)),
+                            constant_values=255)
+            text = np.pad(text, ((0, pad), (0, 0)))  # pad rows: loss-masked
+        return shard_batch(images, mesh), shard_batch(text, mesh)
     rng = jax.random.PRNGKey(config.get("manualSeed", 1111) + 1)
     num_iter = config["num_iter"]
     val_interval = config["valInterval"]
@@ -157,9 +187,8 @@ def train(config, log_dir: str = "saved_models/run") -> dict:
         seen_buckets.add(batch.bucket)
         sync = first or ((it + 1) % log_interval == 0) or sanity
         with timer.step(batch.bucket) if sync else contextlib.nullcontext():
-            state, metrics = b.train_step(
-                state, jnp.asarray(batch.images), jnp.asarray(batch.text), rng
-            )
+            images_d, text_d = place_batch(batch.images, batch.text)
+            state, metrics = b.train_step(state, images_d, text_d, rng)
             if sync:
                 metrics["loss"].block_until_ready()
         it += 1

@@ -80,3 +80,14 @@ class TestShardedInference:
         import __graft_entry__ as g
 
         g.dryrun_multichip(8)
+
+
+class TestDataParallelTraining:
+    def test_engine_trains_over_mesh(self, tmp_path):
+        """engine.train auto-shards over all devices (sanity mode)."""
+        from doc2tex_tpu.engine import train
+        from tests.test_loader_engine import small_config
+
+        cfg = small_config(sanity_check=True, batch_size=8)
+        metrics = train(cfg, str(tmp_path / "dp_run"))
+        assert np.isfinite(metrics["loss"])
