@@ -33,6 +33,9 @@ def main() -> None:
     global BATCH, N_ITERS, BENCH_MAX_LEN
     if "--quick" in sys.argv:
         BATCH, N_ITERS, BENCH_MAX_LEN = 8, 2, 24
+    trace_dir = None
+    if "--trace" in sys.argv:  # jax profiler trace of the timed region
+        trace_dir = "/tmp/doc2tex_trace"
     import jax
 
     # persistent compile cache: repeat bench runs skip the 30-200s XLA
@@ -98,12 +101,17 @@ def main() -> None:
     rtt = (time.perf_counter() - t0) / 5
     print(f"host round-trip: {rtt*1000:.0f}ms", file=sys.stderr)
 
+    from doc2tex_tpu.utils.profiling import trace
+
     times = []
-    for _ in range(N_ITERS):
-        t0 = time.perf_counter()
-        run_once(batch)
-        # two scalar readbacks in run_once ~= 2 RTTs of overhead
-        times.append(max(time.perf_counter() - t0 - 2 * rtt, 1e-6))
+    with trace(trace_dir):
+        for _ in range(N_ITERS):
+            t0 = time.perf_counter()
+            run_once(batch)
+            # two scalar readbacks in run_once ~= 2 RTTs of overhead
+            times.append(max(time.perf_counter() - t0 - 2 * rtt, 1e-6))
+    if trace_dir:
+        print(f"profiler trace written to {trace_dir}", file=sys.stderr)
     dt = min(times)  # min = least tunnel noise
     ips = BATCH / dt
     print(f"{dt*1000:.1f} ms/batch of {BATCH}", file=sys.stderr)

@@ -138,7 +138,7 @@ def train(config, log_dir: str = "saved_models/run") -> dict:
     mesh = None
     n_data = 1
     if jax.device_count() > 1 and config.get("use_dp", True):
-        from ..parallel import make_mesh, shard_batch
+        from ..parallel import make_mesh
         from ..parallel.mesh import replicated_sharding
 
         mesh_shape = config.get("mesh_shape")
