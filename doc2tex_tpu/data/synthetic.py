@@ -65,8 +65,12 @@ def synth_sample(
     tok_ids = [int(rng.integers(len(SYNTH_VOCAB))) for _ in range(n_tok)]
     toks = [SYNTH_VOCAB[i] for i in tok_ids]
     h = int(rng.integers(min_h, max_h + 1))
-    # glyph scale fits the canvas height with jitter
-    scale = max(int(rng.integers(1, max(h // _GLYPH_H, 2))), 1)
+    # glyph scale fits the canvas height with jitter; floor of 2 when the
+    # canvas allows it so glyphs stay above the encoder's /16 height stride
+    # (12px glyphs are sub-resolution for the FAN ResNet)
+    hi = max(h // _GLYPH_H, 2)
+    lo = 2 if hi > 2 else 1
+    scale = max(int(rng.integers(lo, hi + 1)), 1)
     gh, gw = _GLYPH_H * scale, _GLYPH_W * scale
     gap = int(rng.integers(1, 4)) * scale // 2 + 1
     w = int(np.clip(n_tok * (gw + gap) + 2 * gap + int(rng.integers(0, 20)), 32, 900))
