@@ -180,3 +180,37 @@ class TestNativeLevenshtein:
         a = np.array([1, 2, 3, 4], np.uint64)
         b = np.array([1, 3, 4], np.uint64)
         assert levenshtein_u64(a, b) == 1
+
+
+class TestTokenizerFuzz:
+    def test_random_soup_never_crashes_and_agrees(self):
+        """Random LaTeX-ish soup: native and Python tokenizers must not
+        crash and must agree byte-for-byte."""
+        try:
+            from doc2tex_tpu.native import latex_normalize
+        except Exception:
+            pytest.skip("native kernel not built")
+        rng = np.random.default_rng(7)
+        pieces = [
+            "x", "y", "1", "2", "{", "}", "^", "_", "\\frac", "\\sqrt",
+            "\\alpha", "$", "%c", "'", "\\\\", "\\begin{matrix}",
+            "\\end{matrix}", "[", "]", "\\left(", "\\right)", " ", "\\rm",
+            "\\label{x}", "\\medspace", "&", "\\,", "#", "~", "\\",
+        ]
+        for _ in range(200):
+            n = int(rng.integers(1, 30))
+            s = " ".join(pieces[int(rng.integers(len(pieces)))] for _ in range(n))
+            for mode in ("tokenize", "normalize"):
+                a = latex_normalize(s, mode)
+                b = py_normalize(s, mode)
+                assert a == b, (s, mode, a, b)
+
+    def test_long_input(self):
+        try:
+            from doc2tex_tpu.native import latex_normalize
+        except Exception:
+            pytest.skip("native kernel not built")
+        s = ("x ^ 2 + " * 2000).strip("+ ")
+        out = latex_normalize(s, "normalize")
+        assert out == py_normalize(s, "normalize")
+        assert len(out) > 10000  # exercised the buffer regrow path
