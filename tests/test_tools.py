@@ -138,3 +138,34 @@ class TestArxivMining:
 
         found = mine_tarball(buf.getvalue())
         assert len(found) == 1 and "e^{-x^2}" in found[0]
+
+
+class TestLabelTools:
+    def test_manifest_filter_split(self, tmp_path):
+        from doc2tex_tpu.tools.label_tools import (
+            build_label_manifest,
+            filter_supported_tokens,
+            train_val_test_split,
+            write_manifest,
+        )
+
+        d = tmp_path / "imgs"
+        d.mkdir()
+        formulas = [f"x + {i}" for i in range(10)]
+        for i in (0, 2, 5):  # only some rendered successfully
+            (d / f"f{i:06d}.png").write_bytes(b"png")
+        rows = build_label_manifest(str(d), formulas)
+        assert [r[1] for r in rows] == ["x + 0", "x + 2", "x + 5"]
+
+        kept, dropped = filter_supported_tokens(
+            rows + [("bad.png", "x \\unsupported")], ["x", "+"] + [str(i) for i in range(10)]
+        )
+        assert len(kept) == 3 and len(dropped) == 1
+
+        tr, va, te = train_val_test_split(rows * 10, 0.2, 0.2)
+        assert len(tr) + len(va) + len(te) == 30
+        assert len(va) == 6 and len(te) == 6
+
+        out = tmp_path / "labels.tsv"
+        write_manifest(rows, str(out))
+        assert out.read_text().count("\t") == 3
