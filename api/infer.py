@@ -199,6 +199,8 @@ def main() -> None:
     print(f"word NED match: {result['word_ED']:.4f}")
     print(f"images/sec:     {result['images_per_sec']:.2f}")
     print(f"avg time/image: {result['avg_infer_time_s']*1000:.1f} ms")
+    print(f"avg infer:      {result.get('avg_infer_s', 0)*1000:.1f} ms")
+    print(f"avg postproc:   {result.get('avg_postprocess_s', 0)*1000:.1f} ms")
     if "peak_mem_mb" in result:
         print(f"peak mem:       {result['peak_mem_mb']:.0f} MB")
 

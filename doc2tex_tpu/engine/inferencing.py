@@ -49,10 +49,14 @@ def validation(
     n_data = mesh.shape["data"] if mesh is not None else 1
     token_level = config.get("token_level", "word")
 
+    import time as _time
+
     loss_avg = Averager()
     n = 0
     correct = 0
     ned_sum = 0.0
+    t_infer = 0.0   # device decode (reference avg infer time, infer.py:337)
+    t_post = 0.0    # host detok + metrics (reference postprocess, :341)
     preds_all: list[str] = []
     gts_all: list[str] = []
     names_all: list[str] = []
@@ -77,8 +81,12 @@ def validation(
                 images, ((0, pad_rows), (0, 0), (0, 0), (0, 0)),
                 constant_values=255,
             )
+        t0 = _time.perf_counter()
         out = decode_fn(variables, images)
-        tokens = np.asarray(out[0])[:nb]
+        tokens = np.asarray(out[0])[:nb]  # host transfer = device sync
+        t_infer += _time.perf_counter() - t0
+
+        t0 = _time.perf_counter()
         pred_tokens = converter.detokenize(tokens)
         sep = " " if token_level == "word" else ""
         preds = [sep.join(t) for t in pred_tokens]
@@ -92,6 +100,7 @@ def validation(
             gts_all.append(gt)
             names_all.append(name)
             worst.append((float(ls), name, gt, p))
+        t_post += _time.perf_counter() - t0
 
     worst.sort(key=lambda t: -t[0])
     worst_lines = [
@@ -122,5 +131,7 @@ def validation(
         "ED": ned_sum / n if n else 0.0,  # char match score (higher=better)
         "word_ED": float(word_ed),
         "n_samples": n,
+        "avg_infer_s": t_infer / max(n, 1),
+        "avg_postprocess_s": t_post / max(n, 1),
         "worst": worst_lines,
     }
