@@ -322,3 +322,51 @@ class TestTFMParity:
             # argmax of the grown sequence
             j_cut = j_row[: j_row.index(2) + 1] if 2 in j_row else j_row
             assert t_row[: len(j_cut)] == j_cut, f"b={b}: {t_row[:8]} vs {j_cut[:8]}"
+
+    def test_beam_decode_tokens_match_tfm(self, tfm_models, image):
+        """Batch-1 beam=3 for the TFM head vs reference forward_beam +
+        tools/beam.py (CPU topk, score/len selection)."""
+        ref, ours, variables = tfm_models
+        from doc2tex_tpu.decode.runner import make_decode_fn
+
+        cfg = our_tfm_config()
+        ref.predicter.config["beam_size"] = 3
+        raw = np.clip((image * 0.5 + 0.5) * 255.0, 0, 255)
+        decode = make_decode_fn(ours, cfg, beam_size=3, max_steps=12)
+        tgt0 = torch.full((1, 1), 1, dtype=torch.long)
+
+        def seq_logprob(b, seq):
+            """Cumulative log-prob of a token sequence under the reference
+            model (the common scorer; random-weight logits are near-uniform
+            so exact tie-breaks are float-noise — compare hypothesis QUALITY
+            instead of bitwise order)."""
+            inp = torch.tensor([[1] + seq[:-1]], dtype=torch.long)
+            with torch.no_grad():
+                enc = ref.forward_encoder(
+                    torch.from_numpy(np.transpose(image[b : b + 1], (0, 3, 1, 2)))
+                )
+                enc = enc[0] if isinstance(enc, tuple) else enc
+                ref.predicter.Prediction.train()
+                _, logits = ref.predicter.Prediction.forward_greedy(enc, inp)
+                ref.predicter.Prediction.eval()
+            lp = torch.log_softmax(logits[0], -1)
+            return float(sum(lp[i, t] for i, t in enumerate(seq)))
+
+        try:
+            for b in range(2):
+                with torch.no_grad():
+                    t_out = ref(
+                        torch.from_numpy(np.transpose(image[b : b + 1], (0, 3, 1, 2))),
+                        tgt0, is_train=False, is_test=True,
+                    )
+                t_seq = t_out[0].numpy().reshape(-1).tolist()
+
+                j_tokens, _ = decode(variables, jnp.asarray(raw[b : b + 1]))
+                j_row = np.asarray(j_tokens)[0].tolist()
+                j_cut = j_row[: j_row.index(2) + 1] if 2 in j_row else j_row
+                k = min(len(j_cut), len(t_seq))
+                ours = seq_logprob(b, j_cut[:k])
+                theirs = seq_logprob(b, t_seq[:k])
+                assert ours >= theirs - 1e-3, f"b={b}: {ours} < {theirs}"
+        finally:
+            ref.predicter.config["beam_size"] = 1
