@@ -191,6 +191,14 @@ def main() -> None:
     if args.log_path:
         os.makedirs(args.log_path, exist_ok=True)
     result = run_infer(config, dataset, args.log_path)
+    if args.log_path:
+        import json
+
+        with open(os.path.join(args.log_path, "metrics.json"), "w") as f:
+            json.dump(
+                {k: v for k, v in result.items() if isinstance(v, (int, float))},
+                f, indent=2,
+            )
 
     print(f"samples:        {result['n_samples']}")
     print(f"exact match:    {result['accuracy']:.4f}")
