@@ -7,10 +7,10 @@ accuracy + throughput from batched on-device beam decode — the full
 user-visible loop of the framework on real hardware.
 
 Observed (v5e-1): short runs memorize (see tools/convergence_soak.py,
-0.938 train EM); learning to READ the 61-glyph synthetic alphabet well
-enough for sequence-level exact match needs reference-scale training
-(the reference itself trains 300k iterations) — expect >=100k steps at
-~55 it/s post-compile before held-out EM becomes non-trivial.
+0.938 train EM); reading the 61-glyph synthetic alphabet needs
+reference-scale training.  At 200k steps / 8192 samples (~75 min):
+train-subset greedy EM 0.828, HELD-OUT beam=5 EM 0.375 / BLEU 0.575 /
+char-match 0.702 — genuine generalization through the full pipeline.
 
 Run: python tools/e2e_demo.py  (defaults are a ~35-min smoke recipe)
 """
