@@ -24,8 +24,8 @@ import numpy as np
 BENCH_H, BENCH_W = 64, 320
 BENCH_MAX_LEN = 150
 BENCH_BEAM = 5
-BATCH = 128
-N_ITERS = 6
+BATCH = 256
+N_ITERS = 4
 FALLBACK_BASELINE_IPS = 0.9476  # reference CPU beam5 (tools/baseline_measured.json)
 
 
