@@ -186,21 +186,23 @@ class TestParity:
             j_cut = j_row[: j_row.index(1) + 1] if 1 in j_row else j_row
             assert t_row[: len(j_cut)] == j_cut
 
-    def test_beam_decode_tokens_match(self, models, image):
-        """Batch-1 beam=3: tokens must match the reference forward_beam
-        (length-normalized selection, seq2seq.py:83-222)."""
+    @pytest.mark.parametrize("beam", [3, 5])
+    def test_beam_decode_tokens_match(self, models, image, beam):
+        """Batch-1 beam search: tokens must match the reference forward_beam
+        (length-normalized selection, seq2seq.py:83-222); beam=5 is the
+        BASELINE.json gate configuration."""
         ref, ours, variables = models
         from doc2tex_tpu.decode.runner import make_decode_fn
 
         cfg = our_config()
-        cfg["beam_size"] = 3
+        cfg["beam_size"] = beam
         # the reference reads beam_size from its (shared, mutable) config
         # dict at forward time (build_pred.py:31)
-        ref.predicter.config["beam_size"] = 3
+        ref.predicter.config["beam_size"] = beam
         self._restore = lambda: ref.predicter.config.update(beam_size=1)
         text_for_pred = torch.zeros((1, 14), dtype=torch.long)
         raw = np.clip((image * 0.5 + 0.5) * 255.0, 0, 255)
-        decode = make_decode_fn(ours, cfg, beam_size=3, max_steps=13)
+        decode = make_decode_fn(ours, cfg, beam_size=beam, max_steps=13)
 
         for b in range(2):
             with torch.no_grad():
