@@ -113,9 +113,11 @@ class GCB(nn.Module):
         mask = nn.Conv(1, (1, 1), dtype=self.dtype)(x).reshape(B, H * W, 1)
         mask = jax.nn.softmax(mask.astype(jnp.float32), axis=1).astype(x.dtype)
         context = jnp.einsum("bnc,bni->bic", x.reshape(B, H * W, C), mask)  # (B,1,C)
-        hidden = max(int(C * self.ratio), 1)
-        t = nn.Dense(hidden, dtype=self.dtype)(context)
-        t = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32)(t)
+        # hidden == C: the reference ConvMLP's `in_channels or hidden_channels`
+        # (visual_attention.py:88-89) makes rd_ratio dead code — replicated
+        # for weight-import parity
+        t = nn.Dense(C, dtype=self.dtype)(context)
+        t = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32)(t)
         t = nn.relu(t)
         t = nn.Dense(C, dtype=self.dtype)(t)
         return x + t.reshape(B, 1, 1, C)

@@ -68,6 +68,24 @@ def _import_resnet(params, stats, sd, ref_bb: str, our_bb: str) -> None:
             if f"{rp}.downsample.0.weight" in sd:
                 params[f"{op}/Conv_0/kernel"] = _c2d(sd[f"{rp}.downsample.0.weight"])
                 _bn(params, stats, f"{op}/BatchNorm_0", sd, f"{rp}.downsample.1")
+    # GCB blocks: the reference appends GlobalContext as the layer's last
+    # Sequential member (resnet.py:200-201), i.e. layerN.<block_count>
+    for gi, (lname, (_start, count)) in enumerate(_RESNET_LAYERS.items()):
+        rp = f"{ref_bb}.{lname}.{count}"
+        if f"{rp}.global_cxt.weight" not in sd:
+            continue
+        op = f"{our_bb}/GCB_{gi}"
+        params[f"{op}/Conv_0/kernel"] = _c2d(sd[f"{rp}.global_cxt.weight"])
+        params[f"{op}/Conv_0/bias"] = np.asarray(sd[f"{rp}.global_cxt.bias"])
+        mlp = f"{rp}.bottleneck_add"
+        fc1 = np.asarray(sd[f"{mlp}.fc1.weight"])  # (C, C, 1, 1) conv1x1 == dense
+        params[f"{op}/Dense_0/kernel"] = fc1[:, :, 0, 0].T
+        params[f"{op}/Dense_0/bias"] = np.asarray(sd[f"{mlp}.fc1.bias"])
+        params[f"{op}/LayerNorm_0/scale"] = np.asarray(sd[f"{mlp}.norm.weight"])
+        params[f"{op}/LayerNorm_0/bias"] = np.asarray(sd[f"{mlp}.norm.bias"])
+        fc2 = np.asarray(sd[f"{mlp}.fc2.weight"])
+        params[f"{op}/Dense_1/kernel"] = fc2[:, :, 0, 0].T
+        params[f"{op}/Dense_1/bias"] = np.asarray(sd[f"{mlp}.fc2.bias"])
 
 
 def _import_vit(params, stats, sd, depth: int, learned_pos: bool) -> None:

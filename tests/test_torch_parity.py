@@ -372,3 +372,42 @@ class TestTFMParity:
                 assert ours >= theirs - 1e-3, f"b={b}: {ours} < {theirs}"
         finally:
             ref.predicter.config["beam_size"] = 1
+
+
+class TestGCBParity:
+    def test_encoder_with_gcb_matches(self, image):
+        """gcb=True: GlobalContext blocks import and match numerically."""
+        from doc2tex.modules.build_model import Model as RefModel
+
+        device = torch.device("cpu")
+        torch.manual_seed(3)
+        rcfg = ref_config(device)
+        rcfg["SequenceModeling"]["params"]["backbone"]["gcb"] = True
+        ref = RefModel(rcfg).to(device).eval()
+
+        cfg = our_config()
+        cfg["SequenceModeling"]["params"]["backbone"]["gcb"] = True
+        ours = build_model(cfg, V)
+        variables = ours.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((2, H_IMG, W_IMG, 1), jnp.float32),
+            jnp.zeros((2, 13), jnp.int32),
+            False,
+        )
+        sd = {k: v.numpy() for k, v in ref.state_dict().items()}
+        params, stats, missing = import_torch_state_dict(
+            sd, cfg, variables["params"], variables.get("batch_stats", {})
+        )
+        assert not missing, f"unmapped: {missing}"
+        with torch.no_grad():
+            t_enc = ref.forward_encoder(
+                torch.from_numpy(np.transpose(image, (0, 3, 1, 2)))
+            )
+            t_enc = t_enc[0] if isinstance(t_enc, tuple) else t_enc
+        j_enc = ours.apply(
+            {"params": params, "batch_stats": stats},
+            jnp.asarray(image), method="encode",
+        )
+        np.testing.assert_allclose(
+            np.asarray(j_enc), t_enc.numpy(), rtol=2e-3, atol=5e-4
+        )
