@@ -207,3 +207,27 @@ class TestTFMBeamPath:
         beam1 = make_decode_fn(model, cfg, beam_size=1, max_steps=9)
         t1, _ = beam1(variables, jnp.asarray(img))
         np.testing.assert_array_equal(np.asarray(t1), np.asarray(tg))
+
+
+class TestAttnV1WithViT:
+    def test_v1_attends_over_cls(self):
+        """Prediction 'Attn' (v1): attention memory includes the cls token
+        and the hidden init comes from it (reference seq2seq.py enc_init)."""
+        from tests.test_models import tiny_vit_config, VOCAB_SIZE
+        from doc2tex_tpu.models import build_model
+
+        cfg = tiny_vit_config()
+        cfg["Prediction"] = dict(cfg["Prediction"], name="Attn")
+        cfg["Prediction"]["params"] = dict(
+            cfg["Prediction"]["params"], enc_init=True
+        )
+        model = build_model(cfg, VOCAB_SIZE)
+        img = jnp.zeros((2, 32, 64, 1), jnp.float32)
+        text = jnp.zeros((2, 13), jnp.int32)
+        variables = model.init(jax.random.PRNGKey(0), img, text, False)
+        logits = model.apply(variables, img, text, False)
+        assert logits.shape == (2, 13, VOCAB_SIZE)
+        # v1 attends over ALL tokens incl. cls: alpha length == N+1
+        enc = model.apply(variables, img, method="encode")
+        state = model.apply(variables, enc, 13, method="init_decode_state")
+        assert state.enc.shape[1] == enc.shape[1]  # no cls split (v2 drops it)
