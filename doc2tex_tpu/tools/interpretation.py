@@ -176,3 +176,36 @@ def select_samples(rows, condition: str | None = None, seed: int = 0):
             rows = [r for r in rows if bool(r.get("iscorrect", False)) == want]
     random.Random(seed).shuffle(rows)
     return rows
+
+
+def collect_feature_maps(model, variables, image, name_filter=("ResNet", "Embed")):
+    """Encoder/feature-extractor activation dumps (reference
+    ``vit_visualize.py:158-229`` feature-map visualization): returns
+    {module_path: array} for modules whose path matches ``name_filter``.
+    Uses flax ``capture_intermediates`` instead of torch forward hooks."""
+
+    def keep(mdl, method_name):
+        return any(f in type(mdl).__name__ for f in name_filter)
+
+    _, inter = model.apply(
+        variables, image, method="encode", capture_intermediates=keep,
+    )
+
+    out = {}
+
+    def walk(tree, path):
+        if isinstance(tree, dict):
+            for k, v in tree.items():
+                walk(v, path + (k,))
+        elif isinstance(tree, tuple):
+            for i, v in enumerate(tree):
+                if hasattr(v, "shape"):
+                    out["/".join(path)] = np.asarray(v, np.float32)
+                elif isinstance(v, tuple):
+                    for vv in v:
+                        if hasattr(vv, "shape"):
+                            out["/".join(path)] = np.asarray(vv, np.float32)
+                            break
+
+    walk(inter.get("intermediates", inter), ())
+    return out

@@ -55,3 +55,13 @@ class TestOverlay:
         img = np.full((32, 64), 255, np.uint8)
         out = saliency_overlay(img, m)
         assert out.shape == (32, 64, 3) and out.dtype == np.uint8
+
+
+class TestFeatureMaps:
+    def test_collect_feature_maps(self):
+        from doc2tex_tpu.tools.interpretation import collect_feature_maps
+
+        model, variables, img = _model_and_vars()
+        maps = collect_feature_maps(model, variables, img)
+        assert maps, "no feature maps captured"
+        assert any(m.ndim == 4 for m in maps.values())  # (B, H, W, C) conv maps
