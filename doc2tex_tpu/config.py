@@ -55,6 +55,7 @@ _DEFAULTS: dict[str, Any] = {
     "param_dtype": "float32",     # parameter storage dtype
     "mesh_shape": None,           # e.g. {"data": 8}; None = all devices on data
     "bucket_mode": "ladder",      # 'ladder' caps the compiled-shape count
+    "bucket_growth": 1.5,         # ladder rung growth; raise to compile fewer shapes
 }
 
 

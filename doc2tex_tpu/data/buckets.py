@@ -159,6 +159,7 @@ def plan_buckets(
                 config["min_dimension"],
                 config["max_dimension"],
                 config.get("scale_factor", 32),
+                growth=config.get("bucket_growth", 1.5),
             )
         else:
             table = make_exact_table(
