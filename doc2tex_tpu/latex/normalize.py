@@ -58,6 +58,19 @@ def _tokenizer(line: str, mode: str) -> str:
         return normalize_string(line, mode)
 
 
+def _validate(line: str, strict: bool) -> Optional[str]:
+    """KaTeX-grade parse validation (native kernel, Python fallback);
+    None = parses, else the parse-error message."""
+    try:
+        from ..native import latex_validate
+
+        return latex_validate(line, strict)
+    except Exception:
+        from .validate import validate_formula
+
+        return validate_formula(line, strict)
+
+
 def prepass(text: str) -> str:
     """Regex prepass over raw formulas (reference :88-127)."""
     text = text.replace("\r", " ")
@@ -120,9 +133,23 @@ def postpass(tokens_line: str) -> str:
     return post
 
 
-def normalize_formula(line: str, mode: str = "normalize") -> Optional[str]:
-    """One formula through the full pipeline; None if skipped."""
+def normalize_formula(
+    line: str,
+    mode: str = "normalize",
+    validate: bool = True,
+    strict: bool = True,
+) -> Optional[str]:
+    """One formula through the full pipeline; None if skipped or invalid.
+
+    ``validate`` replicates the reference's KaTeX parse gate
+    (``standardize_latex.js:39-42``: a ParseError makes the driver emit an
+    empty line, which the pipeline drops).  ``strict`` additionally
+    rejects unknown control sequences (upstream-KaTeX semantics; the
+    vendored copy is permissive — see ``latex/validate.py``).
+    """
     line = prepass(line)
+    if validate and _validate(line, strict) is not None:
+        return None
     toks = _tokenizer(line, mode)
     if should_skip(toks):
         return None
@@ -136,11 +163,14 @@ def tokenize_formula(line: str) -> Optional[str]:
 
 
 def normalize_file(
-    lines: Iterable[str], mode: str = "normalize"
+    lines: Iterable[str],
+    mode: str = "normalize",
+    validate: bool = True,
+    strict: bool = True,
 ) -> Iterator[str]:
-    """Normalize many formulas, dropping skipped/short ones
+    """Normalize many formulas, dropping skipped/short/invalid ones
     (the ``normalize_formulas.py`` main loop)."""
     for line in lines:
-        out = normalize_formula(line.strip(), mode)
+        out = normalize_formula(line.strip(), mode, validate, strict)
         if out:
             yield out

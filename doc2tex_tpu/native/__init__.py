@@ -26,6 +26,7 @@ _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC_DIR = os.path.join(os.path.dirname(os.path.dirname(_HERE)), "native")
 _LIB_PATH = os.path.join(_SRC_DIR, "_doc2tex_native.so")
 _SOURCES = ["levenshtein.cpp", "latex_tokenizer.cpp"]
+_HEADERS = ["katex_tables.h"]
 
 _lock = threading.Lock()
 _lib = None
@@ -36,7 +37,8 @@ def _needs_build() -> bool:
         return True
     lib_mtime = os.path.getmtime(_LIB_PATH)
     return any(
-        os.path.getmtime(os.path.join(_SRC_DIR, s)) > lib_mtime for s in _SOURCES
+        os.path.getmtime(os.path.join(_SRC_DIR, s)) > lib_mtime
+        for s in _SOURCES + _HEADERS
     )
 
 
@@ -70,6 +72,10 @@ def _load():
         ]
         lib.d2t_latex_normalize.restype = ctypes.c_int
         lib.d2t_latex_normalize.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_char_p, ctypes.c_int,
+        ]
+        lib.d2t_latex_validate.restype = ctypes.c_int
+        lib.d2t_latex_validate.argtypes = [
             ctypes.c_char_p, ctypes.c_int, ctypes.c_char_p, ctypes.c_int,
         ]
         _lib = lib
@@ -112,6 +118,22 @@ def levenshtein_u64(a: np.ndarray, b: np.ndarray) -> int:
         a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)), len(a),
         b.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)), len(b),
     )
+
+
+def latex_validate(line: str, strict: bool = True):
+    """KaTeX-grade parse validation; returns None if the formula parses,
+    else the error message (same strings as latex/validate.py)."""
+    lib = _load()
+    raw = line.encode("utf-8")
+    cap = max(len(raw) + 256, 1024)
+    buf = ctypes.create_string_buffer(cap)
+    n = lib.d2t_latex_validate(raw, 1 if strict else 0, buf, cap)
+    if n < 0:
+        buf = ctypes.create_string_buffer(-n)
+        n = lib.d2t_latex_validate(raw, 1 if strict else 0, buf, -n)
+    if n == 0:
+        return None
+    return buf.value.decode("utf-8")
 
 
 def latex_normalize(line: str, mode: str = "normalize") -> str:

@@ -87,6 +87,97 @@ class TestNormalization:
         assert normalize_formula(r"\genfrac{a}{b}{c}{d}{e}{f} + x + y") is None
 
 
+INVALID_CORPUS = [
+    # the lines katex.__parse would throw on (standardize_latex.js:39-42)
+    r"x + y + z + w + \frac{1}",                      # missing 2nd arg (EOF)
+    r"\begin{matrix} a + b \end{pmatrix} + c + d",    # env mismatch
+    r"\begin{notanenv} x + y + z \end{notanenv}",     # unknown env
+    r"{ x + y + z + w + v",                           # unclosed group
+    r"x + y + z + w + v }",                           # stray close brace
+    r"\left( x + y + z + w",                          # \left without \right
+    r"\left x + y \right) + z + w",                   # invalid delimiter
+    r"a \over b \over c + d + e",                     # double infix
+    r"x + y \limits + z + w + v",                     # \limits after non-op
+    r"\notacommand{x} + y + z + w",                   # unknown control seq
+    r"\begin{matrix} a + b + c + d",                  # unterminated env
+    r"\rule{abc}{1em} + x + y + z",                   # invalid size arg
+]
+
+
+class TestValidation:
+    """KaTeX-grade parse gate: invalid formulas are dropped by
+    normalize_file; every valid corpus line still normalizes identically
+    with validation on (VERDICT round-1 item #2)."""
+
+    @pytest.mark.parametrize("line", INVALID_CORPUS)
+    def test_invalid_dropped(self, line):
+        assert normalize_formula(line) is None
+        from doc2tex_tpu.latex.normalize import normalize_file
+
+        assert list(normalize_file([line])) == []
+
+    @pytest.mark.parametrize("line", CORPUS)
+    def test_valid_corpus_unchanged(self, line):
+        from doc2tex_tpu.latex.validate import validate_formula
+        from doc2tex_tpu.latex.normalize import prepass
+
+        assert validate_formula(prepass(line)) is None, line
+        # validation on == validation off for parsing lines
+        assert normalize_formula(line) == normalize_formula(
+            line, validate=False
+        )
+
+    def test_vendored_permissive_mode(self):
+        # strict=False replicates the vendored parseSymbol fallthrough
+        # (Parser.js:783-793): unknown commands are accepted as ords
+        from doc2tex_tpu.latex.validate import validate_formula
+
+        line = r"\notacommand{x} + y"
+        assert validate_formula(line, strict=False) is None
+        assert validate_formula(line, strict=True) is not None
+
+    def test_native_python_agree(self):
+        try:
+            from doc2tex_tpu.native import latex_validate
+        except Exception:
+            pytest.skip("native kernel not built")
+        from doc2tex_tpu.latex.validate import validate_formula
+
+        for line in CORPUS + INVALID_CORPUS:
+            for strict in (True, False):
+                assert latex_validate(line, strict) == validate_formula(
+                    line, strict
+                ), (line, strict)
+
+
+class TestValidationFuzz:
+    def test_native_matches_python_on_soup(self):
+        try:
+            from doc2tex_tpu.native import latex_validate
+        except Exception:
+            pytest.skip("native kernel not built")
+        from doc2tex_tpu.latex.validate import validate_formula
+
+        rng = np.random.default_rng(13)
+        pieces = [
+            "x", "1", "{", "}", "^", "_", "\\frac", "\\sqrt", "\\alpha",
+            "$", "'", "\\\\", "\\begin{matrix}", "\\end{matrix}", "[", "]",
+            "\\left(", "\\right)", "\\rm", "\\label{x}", "&", "\\,", "#",
+            "\\over", "\\limits", "\\begin{array}", "{cc}", "\\end{array}",
+            "\\cr", "\\text", "\\rule", "\\unknowncmd", "\\sum", "\\big",
+            "(", ")", "\\end", "\\begin", "\\right", "\\left",
+        ]
+        for _ in range(400):
+            n = int(rng.integers(1, 25))
+            s = " ".join(
+                pieces[int(rng.integers(len(pieces)))] for _ in range(n)
+            )
+            for strict in (True, False):
+                assert latex_validate(s, strict) == validate_formula(
+                    s, strict
+                ), (s, strict)
+
+
 class TestPostpass:
     def test_empty_bracket_removed(self):
         assert remove_redundant_bracket("a { } b".split()) == "a b"
