@@ -112,7 +112,10 @@ def run_infer(config, dataset, log_path: str | None = None) -> dict:
         params, info = load_pretrained_params(config["saved_model"], params)
         print(f"loaded weights: {info}")
 
-    loader = BucketLoader(dataset, converter, config, train=False)
+    loader = BucketLoader(
+        dataset, converter, config, train=False,
+        prefetch=int(config.get("prefetch", 2)),
+    )
 
     mesh = None
     if jax.device_count() > 1:
@@ -161,9 +164,19 @@ def main() -> None:
     parser.add_argument("--batch_size", type=int, default=32)
     parser.add_argument("--beam_size", type=int, default=None)
     parser.add_argument("--start_idx", type=int, default=0)
-    parser.add_argument("--num_workers", type=int, default=-1)
-    parser.add_argument("--strong_log", action="store_true", default=False)
-    parser.add_argument("--amp", type=bool, default=False)
+    parser.add_argument(
+        "--num_workers", type=int, default=-1,
+        help="host prefetch depth (reference DataLoader workers); -1 = default",
+    )
+    parser.add_argument(
+        "--strong_log", action="store_true", default=False,
+        help="print every sample's gt/pred line (reference api/infer.py:389)",
+    )
+    parser.add_argument(
+        "--amp", action="store_true", default=False,
+        help="bf16 compute dtype (reference AMP branch api/infer.py:120-124); "
+        "bf16 is already the config default — --amp forces it on",
+    )
     parser.add_argument("--resizer", action="store_true", default=False)
     args = parser.parse_args()
 
@@ -174,6 +187,10 @@ def main() -> None:
     config["batch_size"] = args.batch_size
     if args.beam_size is not None:
         config["beam_size"] = args.beam_size
+    if args.amp:
+        config["dtype"] = "bfloat16"
+    if args.num_workers >= 0:
+        config["prefetch"] = args.num_workers
 
     if args.csv_dir and args.data_dir:
         hook = make_resizer_hook(config) if args.resizer else None
@@ -191,6 +208,10 @@ def main() -> None:
     if args.log_path:
         os.makedirs(args.log_path, exist_ok=True)
     result = run_infer(config, dataset, args.log_path)
+    if args.strong_log:
+        # per-sample lines (reference strong_log, api/infer.py:389-413)
+        for name, gt, pred in result.get("samples", []):
+            print(f"[{name}] {'OK ' if pred == gt else 'ERR'} gt={gt!r} pred={pred!r}")
     if args.log_path:
         import json
 

@@ -239,8 +239,9 @@ class BucketLoader:
             try:
                 for bucket, idxs in plan:
                     q.put(self._assemble(bucket, idxs))
-            finally:
                 q.put(SENTINEL)
+            except BaseException as e:  # surface in the consumer, don't
+                q.put(e)                # silently truncate the epoch
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -248,6 +249,8 @@ class BucketLoader:
             item = q.get()
             if item is SENTINEL:
                 break
+            if isinstance(item, BaseException):
+                raise item
             yield item
 
     def infinite(self) -> Iterator[Batch]:

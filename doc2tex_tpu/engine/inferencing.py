@@ -38,14 +38,19 @@ def validation(
     beam_size: int = 1,
     export_csv: Optional[str] = None,
     mesh=None,
+    decode_fn=None,
 ) -> dict[str, Any]:
     """Run the full validation pass; returns the metric dict.
 
     With ``mesh``, decode batches shard over the data axis (batches are
     white-padded up to a multiple of the axis size and truncated after).
+    Pass ``decode_fn`` (built once via ``make_decode_fn``) when calling
+    repeatedly — e.g. every valInterval — so each call reuses the same
+    jitted programs instead of re-tracing one per bucket shape.
     """
     variables = {"params": state.params, "batch_stats": state.batch_stats}
-    decode_fn = make_decode_fn(model, config, beam_size=beam_size, mesh=mesh)
+    if decode_fn is None:
+        decode_fn = make_decode_fn(model, config, beam_size=beam_size, mesh=mesh)
     n_data = mesh.shape["data"] if mesh is not None else 1
     token_level = config.get("token_level", "word")
 
@@ -125,6 +130,7 @@ def validation(
                 w.writerow([nm, p, g, round(get_single_ED(g, p), 4), int(p == g)])
 
     return {
+        "samples": list(zip(names_all, gts_all, preds_all)),
         "loss": loss_avg.val(),
         "accuracy": correct / n if n else 0.0,
         "bleu": float(bleu),

@@ -55,6 +55,7 @@ class TrainingBundle:
     train_step: Any
     eval_step: Any
     start_iter: int
+    resume_meta: Optional[dict] = None
 
 
 def init_training(config, rng: Optional[jax.Array] = None) -> TrainingBundle:
@@ -72,11 +73,13 @@ def init_training(config, rng: Optional[jax.Array] = None) -> TrainingBundle:
     )
     criterion = criterion_from_config(config)
     start_iter = 0
+    resume_meta = None
 
     if config.get("resume_path"):
         try:
             state, meta = load_checkpoint(config["resume_path"], state)
             start_iter = int(meta.get("iter", int(state.step)))
+            resume_meta = dict(meta)
         except Exception as e:  # fall back to fresh state (reference
             # model_utils.py:227-235 resume try/except)
             import logging
@@ -94,7 +97,7 @@ def init_training(config, rng: Optional[jax.Array] = None) -> TrainingBundle:
     eval_step = make_eval_step(model, criterion, config)
     return TrainingBundle(
         config, converter, model, state, tx, criterion, train_step, eval_step,
-        start_iter,
+        start_iter, resume_meta,
     )
 
 
@@ -128,6 +131,8 @@ def train(config, log_dir: str = "saved_models/run") -> dict:
     )
 
     keeper = BestCheckpointKeeper(log_dir)
+    if b.resume_meta:  # don't regress best_* gates on resume
+        keeper.seed_best(b.resume_meta)
     loss_avg = Averager()
     state = b.state
 
@@ -166,6 +171,12 @@ def train(config, log_dir: str = "saved_models/run") -> dict:
     log_interval = config.get("logInterval", 100)
     early_stop = config.get("early_stop", num_iter)
     sanity = config.get("sanity_check", False)
+
+    # one decode fn for every validation (re-building per call would
+    # re-trace one decode program per bucket shape each valInterval)
+    from ..decode.runner import make_decode_fn
+
+    val_decode_fn = make_decode_fn(b.model, config, beam_size=1, mesh=None)
 
     best_val_step = 0
     last_metrics: dict = {}
@@ -208,7 +219,8 @@ def train(config, log_dir: str = "saved_models/run") -> dict:
         if it % val_interval == 0 or sanity or it == num_iter:
             val = validation(
                 b.model, state, b.converter, valid_loader, config,
-                eval_step=b.eval_step, max_batches=(1 if sanity else None),
+                eval_step=b.eval_step, decode_fn=val_decode_fn,
+                max_batches=(1 if sanity else None),
                 export_csv=(
                     os.path.join(log_dir, f"preds_iter{it}.csv")
                     if config.get("export_csv") else None

@@ -157,7 +157,9 @@ class LSTMAttentionDecoder(nn.Module):
             h = jnp.zeros((B, H), jnp.float32)
             c = jnp.zeros((B, H), jnp.float32)
         if self.attn_type == "luong":
-            enc_proj = jnp.zeros((B, S, H), jnp.float32)  # unused by luong
+            # zero-size placeholder: luong never reads enc_proj, so don't
+            # allocate (B,S,H) of HBM that every decode step would carry
+            enc_proj = jnp.zeros((B, 0, 0), self.dtype)
         else:
             enc_proj = (
                 enc @ self.w_key.astype(self.dtype) + self.b_key

@@ -52,7 +52,11 @@ class MathRecognition:
         weights_path: Optional[str] = None,
         beam_size: Optional[int] = None,
         seed: int = 0,
+        use_clahe: bool = True,
     ):
+        # CLAHE is always-on in the reference demo recognizer's transform
+        # (demo/HybridViT/helper.py:40-52); use_clahe=False disables it.
+        self.use_clahe = use_clahe
         self.config = config if config is not None else make_config(
             {"synthetic_data": 1}
         )
@@ -92,6 +96,10 @@ class MathRecognition:
             image = np.round(
                 image.astype(np.float32).mean(axis=-1)
             ).astype(np.uint8)
+        if self.use_clahe:
+            from ..transforms.preprocess import clahe
+
+            image = clahe(image, clip_limit=2.0, grid=(2, 2))
         return resize_for_inference(image, self.config)
 
     def __call__(self, images) -> list[str]:

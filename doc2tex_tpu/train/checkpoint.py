@@ -144,6 +144,19 @@ class BestCheckpointKeeper:
         self.best = {"bleu": -1.0, "accuracy": -1.0, "ED": -1.0, "word_ED": -1.0}
         os.makedirs(log_dir, exist_ok=True)
 
+    def seed_best(self, meta: Mapping[str, Any]) -> None:
+        """Restore the best-metric gates from a resume checkpoint's sidecar
+        so the first post-resume validation can't overwrite a better
+        best_bleu/best_accuracy file (reference model_utils.py:222-237)."""
+        for meta_key, key in (
+            ("best_bleu", "bleu"),
+            ("best_acc", "accuracy"),
+            ("best_ED", "ED"),
+            ("best_word_ED", "word_ED"),
+        ):
+            if meta_key in meta:
+                self.best[key] = max(self.best[key], float(meta[meta_key]))
+
     def _extra(self, iteration: int) -> dict:
         return {
             "iter": iteration,

@@ -94,12 +94,14 @@ def adamp(
     weight_decay: float = 0.0,
     delta: float = 0.1,
     wd_ratio: float = 0.1,
+    mask: Any = None,
 ) -> optax.GradientTransformation:
     """AdamP (clova; reference vendored ``doc2tex/modules/optim/adamp.py``):
     Adam whose update is projected onto the tangent space of
     scale-invariant weights (channel-wise) when the grad/param cosine
     similarity is below delta/sqrt(dim), with weight decay damped by
-    wd_ratio on projected layers."""
+    wd_ratio on projected layers.  ``mask`` (bool pytree, True = decay)
+    mirrors the reference's add_weight_decay grouping (builder.py:13-26)."""
 
     def init(params):
         z = jax.tree_util.tree_map(jnp.zeros_like, params)
@@ -136,17 +138,22 @@ def adamp(
         nu = jax.tree_util.tree_map(lambda v, g: b2 * v + (1 - b2) * g * g,
                                     state.nu, grads)
 
-        def upd(p, m, v):
+        def upd(p, m, v, decay):
             denom = jnp.sqrt(v) / jnp.sqrt(bc2) + eps
             step_size = lr / bc1
             perturb = m / denom
             perturb, wd = _project(p, perturb)
             new_p_delta = -step_size * perturb
-            if weight_decay > 0:
+            if weight_decay > 0 and decay:
                 new_p_delta = new_p_delta - lr * weight_decay * wd * p
             return new_p_delta
 
-        updates = jax.tree_util.tree_map(upd, params, mu, nu)
+        mask_tree = (
+            mask
+            if mask is not None
+            else jax.tree_util.tree_map(lambda _: True, params)
+        )
+        updates = jax.tree_util.tree_map(upd, params, mu, nu, mask_tree)
         return updates, AdampState(count, mu, nu)
 
     return optax.GradientTransformation(init, update)
@@ -167,7 +174,7 @@ def create_optimizer(
     """Build the full update chain: clip -> optimizer(+decay mask) -> accum."""
     learning_rate = schedule if schedule is not None else lr
     mask = _decay_mask(params) if (filter_bias_and_bn and weight_decay) else None
-    wd = weight_decay if filter_bias_and_bn is False else weight_decay
+    wd = weight_decay
 
     use_lookahead = opt.startswith("lookahead_")
     if use_lookahead:
@@ -178,7 +185,7 @@ def create_optimizer(
     elif opt == "adam":
         tx = optax.adam(learning_rate)
     elif opt == "adamp":
-        tx = adamp(learning_rate, weight_decay=wd)
+        tx = adamp(learning_rate, weight_decay=wd, mask=mask)
     elif opt == "adadelta":
         tx = optax.adadelta(learning_rate)
     elif opt == "adagrad":

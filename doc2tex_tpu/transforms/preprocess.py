@@ -98,3 +98,59 @@ def learned_resize(
         new_h = max(int(round(h * target_w / w)), 1)
         img = _resize_area(img, new_h, target_w)
     return img
+
+
+def clahe(
+    img: np.ndarray, clip_limit: float = 2.0, grid: tuple[int, int] = (2, 2)
+) -> np.ndarray:
+    """Contrast-limited adaptive histogram equalization (OpenCV-compatible).
+
+    The demo recognizer preprocess applies ``alb.CLAHE(clip_limit=2,
+    tile_grid_size=(2, 2), always_apply=True)`` before normalization
+    (reference ``demo/HybridViT/helper.py:40-52``); this is the same
+    algorithm in numpy: per-tile clip-limited histogram equalization with
+    bilinear interpolation between the four neighboring tile mappings.
+    """
+    assert img.ndim == 2, "clahe expects a grayscale HxW image"
+    h, w = img.shape
+    gh, gw = grid
+    th, tw = -(-h // gh), -(-w // gw)  # ceil tile size (OpenCV pads)
+    pad_h, pad_w = th * gh - h, tw * gw - w
+    padded = np.pad(img, ((0, pad_h), (0, pad_w)), mode="reflect")
+
+    # per-tile clipped-CDF mapping tables (gh, gw, 256)
+    maps = np.empty((gh, gw, 256), np.float32)
+    n_tile = th * tw
+    clip = max(int(clip_limit * n_tile / 256.0), 1)
+    for i in range(gh):
+        for j in range(gw):
+            tile = padded[i * th:(i + 1) * th, j * tw:(j + 1) * tw]
+            hist = np.bincount(tile.ravel(), minlength=256).astype(np.int64)
+            excess = np.maximum(hist - clip, 0).sum()
+            hist = np.minimum(hist, clip) + excess // 256
+            # OpenCV distributes the residual over the leading bins
+            hist[: int(excess % 256)] += 1
+            cdf = np.cumsum(hist)
+            maps[i, j] = cdf * (255.0 / n_tile)
+
+    # bilinear interpolation of mapping between tile centers
+    ys, xs = np.arange(h), np.arange(w)
+    fy = (ys + 0.5) / th - 0.5
+    fx = (xs + 0.5) / tw - 0.5
+    y0 = np.clip(np.floor(fy).astype(int), 0, gh - 1)
+    x0 = np.clip(np.floor(fx).astype(int), 0, gw - 1)
+    y1 = np.minimum(y0 + 1, gh - 1)
+    x1 = np.minimum(x0 + 1, gw - 1)
+    wy = np.clip(fy - y0, 0.0, 1.0)[:, None].astype(np.float32)
+    wx = np.clip(fx - x0, 0.0, 1.0)[None, :].astype(np.float32)
+
+    v = img.astype(int)
+    m00 = maps[y0[:, None], x0[None, :], v]
+    m01 = maps[y0[:, None], x1[None, :], v]
+    m10 = maps[y1[:, None], x0[None, :], v]
+    m11 = maps[y1[:, None], x1[None, :], v]
+    out = (
+        (1 - wy) * ((1 - wx) * m00 + wx * m01)
+        + wy * ((1 - wx) * m10 + wx * m11)
+    )
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)

@@ -207,3 +207,100 @@ class TestConfigs:
         cfg = small_config(resume_path=str(bad))
         b = init_training(cfg)
         assert b.start_iter == 0
+
+
+class TestAdviceFixes:
+    """Round-1 advisor findings (ADVICE.md)."""
+
+    def test_keeper_seed_best_from_resume_meta(self, tmp_path, conv):
+        # ADVICE #1: resumed runs must not overwrite best_* with worse
+        from doc2tex_tpu.models import build_model
+        from doc2tex_tpu.train.checkpoint import BestCheckpointKeeper
+        from doc2tex_tpu.train.trainer import create_train_state
+
+        cfg = small_config()
+        model = build_model(cfg, conv.num_classes)
+        state, _ = create_train_state(model, cfg, jax.random.PRNGKey(0), (1, 32, 32, 1))
+        keeper = BestCheckpointKeeper(str(tmp_path))
+        keeper.seed_best({"best_bleu": 0.7, "best_acc": 0.5})
+        saved = keeper.update(state, 10, {"bleu": 0.4, "accuracy": 0.3})
+        assert "best_bleu.msgpack" not in saved
+        assert "best_accuracy.msgpack" not in saved
+        assert "last_checkpoint.msgpack" in saved
+        saved = keeper.update(state, 20, {"bleu": 0.8, "accuracy": 0.3})
+        assert "best_bleu.msgpack" in saved
+
+    def test_prefetch_producer_propagates_errors(self, conv):
+        # ADVICE #2: a raising _assemble must surface, not truncate
+        cfg = small_config()
+        images, labels = synth_dataset(16, seed=0, max_len=8, max_h=48)
+        ds = ArrayDataset(images, labels)
+        loader = BucketLoader(ds, conv, cfg, train=True, prefetch=2)
+
+        def boom(*a, **k):
+            raise RuntimeError("corrupt sample")
+
+        loader._assemble = boom
+        with pytest.raises(RuntimeError, match="corrupt sample"):
+            list(loader)
+
+    def test_adamp_respects_decay_mask(self):
+        # ADVICE #3: no weight decay on 1-D params when filter_bias_and_bn
+        from doc2tex_tpu.train.optim import create_optimizer
+
+        params = {
+            "w": jnp.ones((8, 8), jnp.float32),
+            "b": jnp.ones((8,), jnp.float32),
+        }
+        tx = create_optimizer(
+            params, opt="adamp", lr=0.1, weight_decay=0.5,
+            filter_bias_and_bn=True,
+        )
+        st = tx.init(params)
+        grads = jax.tree_util.tree_map(jnp.zeros_like, params)
+        updates, _ = tx.update(grads, st, params)
+        assert float(jnp.abs(updates["b"]).max()) == 0.0  # bias: no decay
+        assert float(jnp.abs(updates["w"]).max()) > 0.0   # weight: decayed
+
+    def test_validation_accepts_prebuilt_decode_fn(self, conv):
+        # ADVICE #4: decode fn built once per run is reused by validation
+        from doc2tex_tpu.decode.runner import make_decode_fn
+        from doc2tex_tpu.engine.inferencing import validation
+        from doc2tex_tpu.models import build_model
+        from doc2tex_tpu.train.trainer import create_train_state
+
+        cfg = small_config()
+        model = build_model(cfg, conv.num_classes)
+        state, _ = create_train_state(model, cfg, jax.random.PRNGKey(0), (1, 32, 32, 1))
+        images, labels = synth_dataset(8, seed=1, max_len=8, max_h=48)
+        loader = BucketLoader(ArrayDataset(images, labels), conv, cfg, train=False)
+        fn = make_decode_fn(model, cfg, beam_size=1)
+        out = validation(model, state, conv, loader, cfg, decode_fn=fn, max_batches=1)
+        assert "accuracy" in out and out["n_samples"] > 0
+
+
+class TestClahe:
+    def test_clahe_shapes_and_contrast(self):
+        from doc2tex_tpu.transforms.preprocess import clahe
+
+        rng = np.random.default_rng(0)
+        # low-contrast image: values in [120, 136)
+        img = (rng.integers(120, 136, (50, 70))).astype(np.uint8)
+        out = clahe(img, clip_limit=2.0, grid=(2, 2))
+        assert out.shape == img.shape and out.dtype == np.uint8
+        assert out.std() > img.std()  # contrast expanded
+        # deterministic
+        assert np.array_equal(out, clahe(img, clip_limit=2.0, grid=(2, 2)))
+
+    def test_recognition_preprocess_applies_clahe(self):
+        from doc2tex_tpu.recognition.flow import MathRecognition
+
+        cfg = small_config()
+        rec = MathRecognition(config=cfg, use_clahe=True)
+        rec_off = MathRecognition(config=cfg, use_clahe=False)
+        rng = np.random.default_rng(1)
+        img = rng.integers(100, 156, (40, 60)).astype(np.uint8)
+        a = rec._preprocess(img)
+        b = rec_off._preprocess(img)
+        assert a.shape == b.shape
+        assert not np.array_equal(a, b)
