@@ -144,14 +144,22 @@ def train(config, log_dir: str = "saved_models/run") -> dict:
     n_data = 1
     if jax.device_count() > 1 and config.get("use_dp", True):
         from ..parallel import make_mesh
-        from ..parallel.mesh import replicated_sharding
+        from ..parallel.mesh import param_shardings
 
         mesh_shape = config.get("mesh_shape")
         mesh = make_mesh(mesh_shape if isinstance(mesh_shape, dict) else None)
         n_data = mesh.shape["data"]
-        rep = replicated_sharding(mesh)
-        state = jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), state)
-        logger.info(f"data-parallel training over {n_data} devices")
+        n_model = mesh.shape["model"]
+        # dp: replicate; dp x tp: big matmul weights shard over "model"
+        # (column-parallel, mesh.py:_param_spec) — the same shape-based rule
+        # covers opt_state moments (they mirror param shapes).  Activation
+        # boundaries are constrained via the activation_mesh context below.
+        min_size = int(config.get("tp_min_size", 2**16))
+        sh = param_shardings(state, mesh, min_size=min_size if n_model > 1 else 2**62)
+        state = jax.tree_util.tree_map(jax.device_put, state, sh)
+        logger.info(
+            f"sharded training over {n_data}x{n_model} (data x model) devices"
+        )
 
     def place_batch(images, text):
         if mesh is None:
@@ -183,12 +191,37 @@ def train(config, log_dir: str = "saved_models/run") -> dict:
     t_start = time.time()
     it = b.start_iter
 
+    from ..parallel.mesh import activation_mesh
     from ..utils.profiling import StepTimer
 
     timer = StepTimer()
     seen_buckets: set = set()
     pending_losses: list = []
     data_iter = train_loader.infinite()
+    # jit traces happen at first call per bucket shape, inside this context:
+    # activation-boundary constraints (ViT blocks, vocab projections) are
+    # baked against the active mesh
+    with contextlib.ExitStack() as _stack:
+        _stack.enter_context(activation_mesh(mesh))
+        last_metrics = _train_loop(
+            b, config, state, train_loader, valid_loader, data_iter, keeper,
+            loss_avg, logger, log_dir, timer, seen_buckets, pending_losses,
+            place_batch, rng, num_iter, val_interval, log_interval,
+            early_stop, sanity, best_val_step, last_metrics, t_start, it,
+            val_decode_fn,
+        )
+
+    for key, row in timer.summary().items():
+        logger.info(f"bucket {key}: {row}")
+    return last_metrics
+
+
+def _train_loop(
+    b, config, state, train_loader, valid_loader, data_iter, keeper,
+    loss_avg, logger, log_dir, timer, seen_buckets, pending_losses,
+    place_batch, rng, num_iter, val_interval, log_interval, early_stop,
+    sanity, best_val_step, last_metrics, t_start, it, val_decode_fn,
+):
     while it < num_iter:
         batch = next(data_iter)
         # sync only on a bucket's first step (isolates compile time) and at
@@ -250,6 +283,4 @@ def train(config, log_dir: str = "saved_models/run") -> dict:
             logger.info("sanity check complete")
             break
 
-    for key, row in timer.summary().items():
-        logger.info(f"bucket {key}: {row}")
     return last_metrics

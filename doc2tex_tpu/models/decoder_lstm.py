@@ -217,6 +217,12 @@ class LSTMAttentionDecoder(nn.Module):
         x = jnp.concatenate([context, emb], axis=-1)
         h_new, c_new = _lstm_cell(self.lstm, x, state.h, state.c)
         logits = h_new @ self.w_gen + self.b_gen
+        # tensor-parallel vocab projection boundary: logits stay sharded
+        # over the model axis (w_gen is column-parallel); top-k/softmax
+        # gathers ride ICI only where needed
+        from ..parallel.mesh import DATA_AXIS, MODEL_AXIS, shard_activation
+
+        logits = shard_activation(logits, (DATA_AXIS, MODEL_AXIS))
         # (train-time logit dropout is applied over the stacked scan output
         # in __call__; decode paths are always deterministic)
 

@@ -184,7 +184,11 @@ class TransformerDecoder(nn.Module):
             h = h @ lp["ff_w2"] + lp["ff_b2"]
             h = drop(h)
             x = self._ln(x + h, lp["n3_s"], lp["n3_b"])
-        return x @ self.w_proj + self.b_proj
+        from ..parallel.mesh import DATA_AXIS, MODEL_AXIS, shard_activation
+
+        return shard_activation(
+            x @ self.w_proj + self.b_proj, (DATA_AXIS, None, MODEL_AXIS)
+        )
 
     # ------------------------------------------------------------------
     def init_state(self, memory, max_steps: int) -> TFMState:
@@ -241,5 +245,8 @@ class TransformerDecoder(nn.Module):
             h = h @ lp["ff_w2"] + lp["ff_b2"]
             x = self._ln(x + h, lp["n3_s"], lp["n3_b"])
         logits = (x[:, 0] @ self.w_proj + self.b_proj).astype(jnp.float32)
+        from ..parallel.mesh import DATA_AXIS, MODEL_AXIS, shard_activation
+
+        logits = shard_activation(logits, (DATA_AXIS, MODEL_AXIS))
         new_state = state._replace(k_cache=k_cache, v_cache=v_cache, t=t + 1)
         return new_state, logits

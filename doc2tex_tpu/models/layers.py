@@ -150,6 +150,12 @@ class Block(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
+        # tensor-parallel boundary: (B, N, C) activations are batch-sharded
+        # between blocks; within a block XLA shards the qkv/mlp matmuls per
+        # the column-parallel weight rules (parallel/mesh.py:_param_spec)
+        from ..parallel.mesh import DATA_AXIS, shard_activation
+
+        x = shard_activation(x, (DATA_AXIS, None, None))
         h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32)(x)
         h = SelfAttention(
             self.dim,
@@ -164,6 +170,7 @@ class Block(nn.Module):
             int(self.dim * self.mlp_ratio), self.dim, drop=self.drop, dtype=self.dtype
         )(h, deterministic)
         x = x + DropPath(self.drop_path)(h, deterministic)
+        x = shard_activation(x, (DATA_AXIS, None, None))
         return x
 
 

@@ -34,6 +34,56 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
+# --------------------------------------------------------------------------
+# Activation-boundary constraints.
+#
+# Model code is mesh-agnostic; the engine (or a test) activates a mesh and
+# layers call ``shard_activation(x, spec)`` at their boundaries.  With no
+# active mesh this is an exact no-op, so single-device paths pay nothing.
+# The constraint is baked in at trace time: create the jitted step *after*
+# activating the mesh (the engine and dryrun both do).
+
+_ACTIVATION_MESH: list[Mesh] = []
+
+
+class activation_mesh:
+    """Context manager: ``with activation_mesh(mesh): step = make_...()``."""
+
+    def __init__(self, mesh: Optional[Mesh]):
+        self.mesh = mesh
+
+    def __enter__(self):
+        if self.mesh is not None:
+            _ACTIVATION_MESH.append(self.mesh)
+        return self.mesh
+
+    def __exit__(self, *exc):
+        if self.mesh is not None:
+            _ACTIVATION_MESH.pop()
+        return False
+
+
+def current_activation_mesh() -> Optional[Mesh]:
+    return _ACTIVATION_MESH[-1] if _ACTIVATION_MESH else None
+
+
+def shard_activation(x: jax.Array, spec: Sequence[Optional[str]]) -> jax.Array:
+    """Constrain an activation to ``spec`` over the active mesh (no-op when
+    none).  Axis names in ``spec`` that the array dim doesn't divide are
+    dropped (XLA would otherwise pad-reshard)."""
+    mesh = current_activation_mesh()
+    if mesh is None:
+        return x
+    fixed = tuple(
+        a if (a is None or x.shape[i] % mesh.shape[a] == 0) else None
+        for i, a in enumerate(spec)
+    )
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(mesh, PartitionSpec(*fixed))
+    )
+
 
 def make_mesh(
     mesh_shape: Optional[dict[str, int]] = None,

@@ -91,3 +91,51 @@ class TestDataParallelTraining:
         cfg = small_config(sanity_check=True, batch_size=8)
         metrics = train(cfg, str(tmp_path / "dp_run"))
         assert np.isfinite(metrics["loss"])
+
+
+class TestTensorParallelTraining:
+    """VERDICT round-1 item #4: TP must be real in the engine — activation
+    constraints at ViT-block and vocab-projection boundaries, engine runs
+    on a dp x tp mesh, and the loss curve matches pure-dp."""
+
+    def _run(self, tmp_path, mesh_shape, tag, steps=8):
+        from doc2tex_tpu.engine import train
+        from tests.test_loader_engine import small_config
+
+        cfg = small_config(
+            batch_size=8,
+            num_iter=steps,
+            valInterval=steps,
+            logInterval=steps,
+            mesh_shape=mesh_shape,
+            tp_min_size=2**10,  # tiny test weights should shard too
+        )
+        return train(cfg, str(tmp_path / tag))
+
+    def test_engine_tp_matches_dp_loss(self, tmp_path):
+        m_dp = self._run(tmp_path, {"data": 8, "model": 1}, "dp")
+        m_tp = self._run(tmp_path, {"data": 4, "model": 2}, "tp")
+        assert np.isfinite(m_tp["loss"])
+        # same data order (seeded), same math -> same loss curve modulo
+        # reduction order
+        assert abs(m_tp["loss"] - m_dp["loss"]) < 5e-2 * max(1.0, m_dp["loss"])
+
+    def test_activation_constraint_applies(self):
+        from doc2tex_tpu.parallel.mesh import (
+            activation_mesh,
+            shard_activation,
+        )
+
+        mesh = make_mesh({"data": 4, "model": 2})
+        x = jnp.zeros((8, 16, 32))
+
+        @jax.jit
+        def f(x):
+            return shard_activation(x, ("data", None, "model"))
+
+        with activation_mesh(mesh):
+            y = f(x)
+        assert y.sharding.spec == jax.sharding.PartitionSpec("data", None, "model")
+        # no active mesh -> exact no-op
+        z = shard_activation(x, ("data", None, "model"))
+        assert z is x
