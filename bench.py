@@ -9,6 +9,13 @@ max_len 150, beam 5.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "images/sec", "vs_baseline": N}
+
+``--gate`` runs the REFERENCE EVAL-GATE workload instead (reference
+``config/test.yaml:3-17`` == our ``config/test.yaml``): 448x960 max-dim
+bucket ladder (downsample-2 size regime), a realistic size mix over 8
+buckets, batch_max_length 500, beam 5 — reporting per-bucket ms, aggregate
+images/sec, compile count, and encoder MFU.  Numbers recorded in
+BASELINE.md next to the 64x320 headline.
 """
 
 from __future__ import annotations
@@ -134,5 +141,164 @@ def main() -> None:
     )
 
 
+# --------------------------------------------------------------------------
+# Reference gate-config workload (VERDICT round-1 item #3)
+
+# realistic post-downsample IM2LATEX size mix: mostly short-wide formulas,
+# thin tail of page-height display math up to the 448x960 max dims
+GATE_MIX = [
+    # (h, w, n_images, batch)
+    (32, 128, 96, 96),
+    (32, 192, 96, 96),
+    (64, 256, 96, 96),
+    (64, 320, 64, 64),
+    (96, 384, 64, 64),
+    (128, 512, 48, 48),
+    (224, 704, 32, 32),
+    (448, 960, 16, 16),
+]
+GATE_MAX_LEN = 500
+V5E_BF16_PEAK = 197e12  # flop/s per v5e chip
+
+
+def gate_main() -> None:
+    quick = "--quick" in sys.argv
+    import jax
+    import jax.numpy as jnp
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    from doc2tex_tpu.config import load_config
+    from doc2tex_tpu.data.synthetic import SYNTH_VOCAB, synth_sample
+    from doc2tex_tpu.decode.runner import make_decode_fn
+    from doc2tex_tpu.models import Model, build_model
+    from doc2tex_tpu.tokenizer.converters import AttnLabelConverter
+    from doc2tex_tpu.train.trainer import init_model, param_count
+
+    cfg = load_config(os.path.join(os.path.dirname(__file__), "config", "test.yaml"))
+    cfg["character"] = list(SYNTH_VOCAB)
+    cfg["vocab"] = ""
+    cfg["saved_model"] = ""  # random weights: full-length decode, no early exit
+    max_len = 40 if quick else GATE_MAX_LEN
+    cfg["batch_max_length"] = max_len
+    mix = GATE_MIX[:3] if quick else GATE_MIX
+
+    conv = AttnLabelConverter(cfg["character"])
+    cfg["num_class"] = conv.num_classes
+    model = build_model(cfg, conv.num_classes)
+    params, batch_stats = init_model(
+        model, jax.random.PRNGKey(0), (2, 64, 320, 1), max_len + 1
+    )
+    variables = {"params": params, "batch_stats": batch_stats}
+    print(
+        f"gate model: {param_count(params)/1e6:.1f}M params, beam={cfg['beam_size']}, "
+        f"max_len={max_len}, {len(mix)} buckets on {jax.devices()[0].platform}",
+        file=sys.stderr,
+    )
+
+    decode = make_decode_fn(
+        model, cfg, beam_size=int(cfg["beam_size"]), max_steps=max_len + 1
+    )
+
+    def enc_fn(variables, images):
+        from doc2tex_tpu.transforms.augment import normalize
+
+        x = normalize(images, cfg.get("mean", 0.5), cfg.get("std", 0.5))
+        return model.apply(variables, x, train=False, method=Model.encode)
+
+    enc_jit = jax.jit(enc_fn)
+
+    # host round-trip latency (subtracted; tunnel sync is via scalar readback)
+    tiny = jax.jit(lambda x: jnp.sum(x[:1]))
+    z = jax.device_put(np.zeros((8,), np.float32))
+    _ = float(tiny(z))
+    t0 = time.perf_counter()
+    for _ in range(5):
+        _ = float(tiny(z))
+    rtt = (time.perf_counter() - t0) / 5
+
+    rng = np.random.default_rng(0)
+    rows = []
+    total_images = 0
+    total_time = 0.0
+    compile_count = 0
+    for h, w, n, bs in mix:
+        batch = np.full((bs, h, w, 1), 255, np.uint8)
+        for i in range(bs):
+            img, _ = synth_sample(rng)
+            hh, ww = min(img.shape[0], h), min(img.shape[1], w)
+            batch[i, :hh, :ww, 0] = img[:hh, :ww]
+        batch_d = jax.device_put(batch)
+
+        # compile (not timed) + cost analysis for encoder MFU
+        t0 = time.perf_counter()
+        tokens, _ = decode(variables, batch_d)
+        _ = int(tokens[0, 0])
+        compile_s = time.perf_counter() - t0
+        compile_count += 2  # encode+decode fused program AND encoder probe
+        lowered = enc_jit.lower(variables, batch_d)
+        cost = lowered.compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0] if cost else {}
+        enc_flops = float(cost.get("flops", 0.0))
+
+        # timed: full decode pipeline, best of k
+        reps = 1 if quick else 2
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            tokens, _ = decode(variables, batch_d)
+            _ = int(tokens[0, 0])
+            best = min(best, time.perf_counter() - t0 - rtt)
+        # encoder-only time for MFU
+        out = enc_jit(variables, batch_d)
+        _ = float(out[0, 0, 0])
+        t0 = time.perf_counter()
+        out = enc_jit(variables, batch_d)
+        _ = float(out[0, 0, 0])
+        enc_t = max(time.perf_counter() - t0 - rtt, 1e-9)
+        mfu = enc_flops / enc_t / V5E_BF16_PEAK
+
+        n_batches = -(-n // bs)
+        bucket_time = best * n_batches
+        total_images += n
+        total_time += bucket_time
+        rows.append(
+            dict(bucket=f"{h}x{w}", batch=bs, ms_per_batch=round(best * 1e3, 1),
+                 img_per_s=round(bs / best, 1), enc_ms=round(enc_t * 1e3, 1),
+                 enc_mfu=round(mfu, 3), compile_s=round(compile_s, 1))
+        )
+        print(f"  bucket {h}x{w} b={bs}: {best*1e3:.1f} ms/batch "
+              f"({bs/best:.1f} img/s), enc {enc_t*1e3:.1f} ms MFU {mfu:.2f}, "
+              f"compile {compile_s:.0f}s", file=sys.stderr)
+
+    agg_ips = total_images / total_time
+    for r in rows:
+        print(json.dumps(r), file=sys.stderr)
+    print(
+        json.dumps(
+            {
+                "metric": (
+                    "gate-config images/sec/chip (test.yaml: 448x960 ladder, "
+                    f"beam={cfg['beam_size']}, max_len={max_len}, "
+                    f"{len(mix)}-bucket mix)"
+                ),
+                "value": round(agg_ips, 3),
+                "unit": "images/sec",
+                "buckets": len(mix),
+                "compiled_programs": compile_count,
+                "per_bucket": rows,
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
-    main()
+    if "--gate" in sys.argv:
+        gate_main()
+    else:
+        main()

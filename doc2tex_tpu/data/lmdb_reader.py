@@ -7,8 +7,9 @@ keys ``image-%09d`` (encoded image bytes), ``label-%09d`` (utf-8),
 ``name-%09d`` (utf-8), ``height-%09d``/``width-%09d`` (int32 bytes),
 ``num-samples``; indices start at 1.
 
-The reader is import-gated on the ``lmdb`` package so the rest of the
-framework works without it (synthetic data path).
+Backend: the ``lmdb`` C package when installed; otherwise the pure-Python
+MDB file-format implementation in ``pylmdb.py`` (reads reference-produced
+stores and round-trips writes without the C library).
 """
 
 from __future__ import annotations
@@ -43,23 +44,41 @@ KEY_WIDTH = "width-%09d"
 KEY_NUM_SAMPLES = "num-samples"
 
 
+class _PyTxn:
+    """txn-shaped adapter over the pure-Python reader."""
+
+    def __init__(self, root: str):
+        from .pylmdb import PyLmdbReader
+
+        self._r = PyLmdbReader(root)
+
+    def get(self, key: bytes):
+        return self._r.get(key)
+
+
 class LmdbReader:
-    """Read-only LMDB env with the reference key schema."""
+    """Read-only LMDB env with the reference key schema.
+
+    Uses the ``lmdb`` C package when available (same dep as the
+    reference), else the pure-Python MDB parser (``pylmdb.py``).
+    """
 
     def __init__(self, root: str, rgb: bool = False):
-        if not HAS_LMDB:
-            raise ImportError("lmdb package not available")
         self.root = root
         self.rgb = rgb
-        self.env = lmdb.open(
-            root,
-            max_readers=32,
-            readonly=True,
-            lock=False,
-            readahead=False,
-            meminit=False,
-        )
-        self.txn = self.env.begin(write=False)
+        if HAS_LMDB:
+            self.env = lmdb.open(
+                root,
+                max_readers=32,
+                readonly=True,
+                lock=False,
+                readahead=False,
+                meminit=False,
+            )
+            self.txn = self.env.begin(write=False)
+        else:
+            self.env = None
+            self.txn = _PyTxn(root)
         self.num_samples = int(self.txn.get(KEY_NUM_SAMPLES.encode()))
 
     def __len__(self) -> int:
@@ -106,9 +125,15 @@ def write_lmdb(
 ) -> None:
     """Create an LMDB store with the reference schema
     (``create_lmdb_dataset.py:36-98``): PNG-encoded image bytes + label +
-    name + int32 h/w, batched writes, ``num-samples`` key."""
-    if not HAS_LMDB or not HAS_PIL:
-        raise ImportError("lmdb and PIL required to write LMDB datasets")
+    name + int32 h/w, batched writes, ``num-samples`` key.
+
+    Falls back to the pure-Python MDB writer when the C package is absent.
+    """
+    if not HAS_PIL:
+        raise ImportError("PIL required to write LMDB datasets")
+    if not HAS_LMDB:
+        _write_lmdb_pure(out_path, images, labels, names, map_size)
+        return
     env = lmdb.open(out_path, map_size=map_size)
     cache: dict[bytes, bytes] = {}
     n = 0
@@ -133,3 +158,25 @@ def write_lmdb(
         for k, v in cache.items():
             txn.put(k, v)
     env.close()
+
+
+def _write_lmdb_pure(out_path, images, labels, names, map_size) -> None:
+    """Reference-schema store via the pure-Python MDB writer."""
+    from .pylmdb import write_pylmdb
+
+    pairs: list[tuple[bytes, bytes]] = []
+    n = 0
+    for i, (img, label) in enumerate(zip(images, labels)):
+        idx = i + 1
+        buf = io.BytesIO()
+        Image.fromarray(img).save(buf, format="PNG")
+        h, w = img.shape[:2]
+        pairs.append(((KEY_IMAGE % idx).encode(), buf.getvalue()))
+        pairs.append(((KEY_LABEL % idx).encode(), label.encode("utf-8")))
+        name = names[i] if names is not None else f"sample-{idx}"
+        pairs.append(((KEY_NAME % idx).encode(), name.encode("utf-8")))
+        pairs.append(((KEY_HEIGHT % idx).encode(), np.int32(h).tobytes()))
+        pairs.append(((KEY_WIDTH % idx).encode(), np.int32(w).tobytes()))
+        n += 1
+    pairs.append((KEY_NUM_SAMPLES.encode(), str(n).encode()))
+    write_pylmdb(out_path, pairs, map_size=map_size)

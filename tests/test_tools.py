@@ -106,7 +106,8 @@ class TestVocabTools:
 
 class TestLmdbRoundtrip:
     def test_write_read(self, tmp_path):
-        lmdb = pytest.importorskip("lmdb")
+        # runs on the C lmdb package when installed, else the pure-Python
+        # MDB implementation (pylmdb.py) — no skip either way
         from doc2tex_tpu.data.lmdb_reader import LmdbReader, write_lmdb
 
         images = [np.full((8, 12), 200, np.uint8), np.zeros((5, 7), np.uint8)]
@@ -169,3 +170,52 @@ class TestLabelTools:
         out = tmp_path / "labels.tsv"
         write_manifest(rows, str(out))
         assert out.read_text().count("\t") == 3
+
+
+class TestPureLmdbFormat:
+    """Byte-level MDB format implementation (data/pylmdb.py): the reader
+    walks real meta/branch/leaf/overflow pages; the writer emits them."""
+
+    def test_multilevel_tree_and_overflow(self, tmp_path):
+        import numpy as np
+
+        from doc2tex_tpu.data.pylmdb import PyLmdbReader, write_pylmdb
+
+        rng = np.random.default_rng(0)
+        pairs = []
+        for i in range(2500):
+            k = b"key-%09d" % i
+            if i % 100 == 0:  # > node_max -> overflow chain
+                v = rng.integers(0, 256, 9000, dtype=np.uint8).tobytes()
+            else:
+                v = (b"v%d" % i) * (i % 11 + 1)
+            pairs.append((k, v))
+        root = str(tmp_path / "db")
+        write_pylmdb(root, pairs)
+        r = PyLmdbReader(root)
+        assert r.entries == len(pairs)
+        lut = dict(pairs)
+        for k in (b"key-%09d" % i for i in (0, 1, 99, 100, 1249, 2499)):
+            assert r.get(k) == lut[k]
+        assert r.get(b"nope") is None
+        # full in-order scan
+        items = list(r.items())
+        assert [k for k, _ in items] == sorted(lut)
+        assert all(lut[k] == v for k, v in items)
+
+    def test_empty_store(self, tmp_path):
+        from doc2tex_tpu.data.pylmdb import PyLmdbReader, write_pylmdb
+
+        root = str(tmp_path / "empty")
+        write_pylmdb(root, [])
+        r = PyLmdbReader(root)
+        assert r.get(b"x") is None and list(r.items()) == []
+
+    def test_meta_selection_by_txnid(self, tmp_path):
+        # live meta is the one with the larger txnid (pages 0/1)
+        from doc2tex_tpu.data.pylmdb import PyLmdbReader, write_pylmdb
+
+        root = str(tmp_path / "db")
+        write_pylmdb(root, [(b"a", b"1")])
+        r = PyLmdbReader(root)
+        assert r.get(b"a") == b"1"  # meta 1 (txnid 1) wins over meta 0
