@@ -47,6 +47,27 @@ class RenderError(RuntimeError):
     pass
 
 
+def map_error_lines(log_text: str, n_formulas: int) -> set[int]:
+    """Map ``-file-line-error`` TeX log lines back to formula indices.
+
+    Each formula spans a fixed number of source lines in the batch
+    document, so ``file:line: message`` entries resolve to the offending
+    formula (reference ``pdflatex2png.py:117-131``).  Pure function so the
+    parsing is testable with canned logs, no TeX install needed.
+    """
+    bad: set[int] = set()
+    header_lines = DOC_TEMPLATE.split("%s")[0].count("\n")
+    # each formula block renders as exactly count("\n") source lines
+    # ($\displaystyle / formula / $ / \newpage)
+    lines_per_formula = FORMULA_TEMPLATE.count("\n")
+    for m in _ERR_LINE.finditer(log_text or ""):
+        line_no = int(m.group(1))
+        idx = (line_no - header_lines - 1) // lines_per_formula
+        if 0 <= idx < n_formulas:
+            bad.add(idx)
+    return bad
+
+
 def render_formulas(
     formulas: Sequence[str],
     out_dir: str,
@@ -88,16 +109,7 @@ def render_formulas(
         if not os.path.exists(pdf_path):
             raise RenderError(proc.stdout[-2000:] if proc.stdout else "no pdf")
 
-        # map TeX error lines -> formula indices (each formula spans a fixed
-        # number of source lines in the batch document)
-        bad: set[int] = set()
-        header_lines = DOC_TEMPLATE.split("%s")[0].count("\n")
-        lines_per_formula = FORMULA_TEMPLATE.count("\n") + 1
-        for m in _ERR_LINE.finditer(proc.stdout or ""):
-            line_no = int(m.group(1))
-            idx = (line_no - header_lines - 1) // lines_per_formula
-            if 0 <= idx < len(formulas):
-                bad.add(idx)
+        bad = map_error_lines(proc.stdout, len(formulas))
 
         # one page per formula -> per-page PNG
         png_tmpl = os.path.join(tmp, "page-%d.png")
