@@ -78,3 +78,74 @@ def evaluate_detections(
         out[f"recall@{thr}"] = rec
         out[f"f1@{thr}"] = f1
     return out
+
+
+# ---------------------------------------------------------------------------
+# CROHME-2019 Task-3 scoring (reference IOU_lib/IOUevaluater.py)
+
+
+def _unique_match(pred_dict: dict, thresh: float) -> dict:
+    """GT-centric unique matching (reference ``find_uni_pred`` /
+    ``fix_preds``, IOUevaluater.py:109-182): when one detection is the
+    best candidate for several GT boxes, the GT with the higher IoU keeps
+    it and the others fall back to their next candidate, dropping out when
+    that falls below ``thresh``."""
+    d = {k: v for k, v in pred_dict.items() if v[0] >= thresh}
+    while True:
+        by_det: dict = {}
+        for k, (iou, det, ious, dets) in d.items():
+            by_det.setdefault(det, []).append(k)
+        dups = [ks for ks in by_det.values() if len(ks) > 1]
+        if not dups:
+            return d
+        for ks in dups:
+            ks = sorted(ks, key=lambda k: -d[k][0])
+            for k in ks[1:]:  # losers fall back to their next candidate
+                iou, det, ious, dets = d[k]
+                if len(ious) <= 1 or ious[1] < thresh:
+                    del d[k]
+                else:
+                    d[k] = (ious[1], dets[1], ious[1:], dets[1:])
+
+
+def crohme_detection_scores(
+    predictions: Sequence[np.ndarray],
+    ground_truths: Sequence[np.ndarray],
+) -> dict:
+    """CROHME Task-3 coarse/fine detection scoring
+    (reference ``IoU_page_bboxes`` + ``pre_rec_calculate``,
+    IOUevaluater.py:198-436): per GT box, all detections ranked by IoU;
+    unique GT<->det assignment; correct at IoU>0.5 (coarse) and >0.75
+    (fine); precision over ALL detections, recall over ALL GT boxes.
+
+    ``predictions``: per-page det boxes (K,4); ``ground_truths``: per-page
+    gt boxes (M,4).
+    """
+    all_gt = all_det = correct_c = correct_f = 0
+    for det, gt in zip(predictions, ground_truths):
+        det = np.asarray(det, np.float32).reshape(-1, 4)
+        gt = np.asarray(gt, np.float32).reshape(-1, 4)
+        all_gt += len(gt)
+        all_det += len(det)
+        if len(gt) == 0 or len(det) == 0:
+            continue
+        iou = iou_matrix(gt, det)
+        pred_dict = {}
+        for gi in range(len(gt)):
+            order = np.argsort(-iou[gi])
+            ious = [float(iou[gi, j]) for j in order]
+            dets = [int(j) for j in order]
+            pred_dict[gi] = (ious[0], dets[0], ious, dets)
+        correct_c += len(_unique_match(dict(pred_dict), 0.5))
+        correct_f += len(_unique_match(dict(pred_dict), 0.75))
+
+    out = {"allGTbox": all_gt, "allDet": all_det,
+           "correctDet_c": correct_c, "correctDet_f": correct_f}
+    for tag, correct in (("coarse", correct_c), ("fine", correct_f)):
+        pre = correct / all_det if all_det else 0.0
+        rec = correct / all_gt if all_gt else 0.0
+        f = 2 * pre * rec / (pre + rec) if (pre or rec) else 0.0
+        out[f"{tag}_pre"] = round(pre, 4)
+        out[f"{tag}_rec"] = round(rec, 4)
+        out[f"{tag}_f"] = round(f, 4)
+    return out

@@ -115,3 +115,129 @@ class TestMultiBoxLoss:
         ll, lc = multibox_loss(loc, conf, gt, valid, priors)
         assert np.isfinite(float(ll)) and np.isfinite(float(lc))
         assert float(lc) > 0
+
+
+class TestStitching:
+    """Voting-based page stitching (reference stitch_patches_pdf.py)."""
+
+    def _page(self):
+        page = np.full((300, 400), 255, np.uint8)
+        page[50:80, 40:200] = 0     # region A ink
+        page[150:170, 250:380] = 0  # region B ink
+        return page
+
+    def test_equal_voting_recovers_regions(self):
+        from doc2tex_tpu.detection.stitch import stitch_page
+
+        page = self._page()
+        dets = []
+        # overlapping windowed detections around each region (jittered)
+        for dx, dy in [(-4, -3), (0, 0), (5, 2), (3, -2)]:
+            dets.append([40 + dx, 50 + dy, 200 + dx, 80 + dy, 0.9])
+            dets.append([250 + dx, 150 + dy, 380 + dx, 170 + dy, 0.8])
+        # one stray low-overlap detection: below the vote threshold
+        dets.append([10, 250, 60, 290, 0.9])
+        boxes = stitch_page(
+            np.array(dets, np.float32), page.shape, page_image=page,
+            algorithm="equal", thresh_votes=3,
+        )
+        assert len(boxes) == 2
+        # fit-to-ink postprocess snaps to the exact ink bounds
+        assert [40, 50, 200, 80] in boxes
+        assert [250, 150, 380, 170] in boxes
+
+    @pytest.mark.parametrize("algo", ["sum", "max", "avg"])
+    def test_score_voting_algorithms(self, algo):
+        from doc2tex_tpu.detection.stitch import vote_for_regions
+
+        dets = np.array(
+            [[10, 10, 50, 30, 0.6], [12, 12, 52, 32, 0.8]], np.float32
+        )
+        thresh = {"sum": 1.2, "max": 0.7, "avg": 0.65}[algo]
+        mask = vote_for_regions(dets, (60, 60), algo, thresh)
+        assert mask[20, 20] == 1     # double-covered core passes
+        assert mask[5, 5] == 0       # uncovered background doesn't
+
+    def test_fit_box_expands_over_components(self):
+        from doc2tex_tpu.detection.stitch import fit_box
+
+        im_bw = np.zeros((50, 50), np.uint8)
+        im_bw[10:20, 10:40] = 1  # one component wider than the box
+        assert fit_box(im_bw, [15, 12, 25, 18]) == [10, 10, 40, 20]
+
+
+class TestCrohmeScoring:
+    """CROHME Task-3 coarse/fine detection scoring
+    (reference IOU_lib/IOUevaluater.py)."""
+
+    def test_perfect_detection(self):
+        from doc2tex_tpu.detection.evaluate import crohme_detection_scores
+
+        gt = [np.array([[0, 0, 10, 10], [20, 20, 40, 40]], np.float32)]
+        out = crohme_detection_scores(gt, gt)
+        assert out["coarse_f"] == 1.0 and out["fine_f"] == 1.0
+        assert out["correctDet_c"] == 2 and out["correctDet_f"] == 2
+
+    def test_duplicate_detection_unique_matching(self):
+        from doc2tex_tpu.detection.evaluate import crohme_detection_scores
+
+        gt = [np.array([[0, 0, 100, 100], [100, 0, 200, 100]], np.float32)]
+        shared = [0, 0, 130, 100]    # IoU(A)=100/130=0.77, IoU(B)=30/200=0.15
+        backup = [112, 0, 185, 100]  # IoU(B)=73/100=0.73 (coarse only)
+        out = crohme_detection_scores(
+            [np.array([shared, backup], np.float32)], gt
+        )
+        # A matches `shared` at 0.77 (coarse+fine); B's best is `backup`
+        # at 0.73 — above 0.5, below 0.75
+        assert out["correctDet_c"] == 2
+        assert out["correctDet_f"] == 1
+        assert out["coarse_pre"] == 1.0 and out["coarse_rec"] == 1.0
+
+    def test_shared_best_det_falls_back(self):
+        from doc2tex_tpu.detection.evaluate import crohme_detection_scores
+
+        # both GTs' best candidate is det0; loser falls back to det1
+        gt = [np.array([[0, 0, 100, 100], [10, 0, 110, 100]], np.float32)]
+        det0 = [0, 0, 100, 100]      # IoU(gt0)=1.0, IoU(gt1)=0.818
+        det1 = [12, 0, 112, 100]     # IoU(gt1)=0.96, IoU(gt0)=0.785
+        out = crohme_detection_scores([np.array([det0, det1], np.float32)], gt)
+        assert out["correctDet_c"] == 2  # unique matching resolves both
+        assert out["correctDet_f"] == 2
+
+    def test_false_positives_hit_precision(self):
+        from doc2tex_tpu.detection.evaluate import crohme_detection_scores
+
+        gt = [np.array([[0, 0, 10, 10]], np.float32)]
+        det = [np.array([[0, 0, 10, 10], [50, 50, 60, 60]], np.float32)]
+        out = crohme_detection_scores(det, gt)
+        assert out["coarse_pre"] == 0.5 and out["coarse_rec"] == 1.0
+
+
+class TestSSDTrainToEval:
+    def test_detector_output_flows_to_stitch_and_scores(self):
+        """Synthetic GTDB page -> detector -> voting stitch -> CROHME
+        scoring: the full detection-eval pipeline composes (random
+        weights, so scores are whatever they are; keys must be there)."""
+        from doc2tex_tpu.detection.flow import MathDetector
+        from doc2tex_tpu.detection.evaluate import crohme_detection_scores
+        from doc2tex_tpu.detection.stitch import stitch_page
+
+        page = np.full((600, 700), 255, np.uint8)
+        page[100:160, 50:400] = 0
+        gt_boxes = np.array([[50, 100, 400, 160]], np.float32)
+
+        det = MathDetector(conf_thresh=0.01, stride=(512, 512), batch_size=2)
+        boxes, scores = det.detect_page(page)
+        bs = (
+            np.concatenate([boxes, scores[:, None]], axis=1)
+            if len(boxes)
+            else np.zeros((0, 5), np.float32)
+        )
+        stitched = stitch_page(bs, page.shape[:2], page_image=page,
+                               thresh_votes=1)
+        out = crohme_detection_scores(
+            [np.array(stitched, np.float32).reshape(-1, 4)],
+            [gt_boxes],
+        )
+        assert set(["coarse_f", "fine_f", "allGTbox", "allDet"]) <= set(out)
+        assert out["allGTbox"] == 1
