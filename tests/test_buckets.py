@@ -100,3 +100,52 @@ class TestBatchPlan:
                              rng=np.random.default_rng(0))
         assert all(len(b[1]) == 4 for b in batches)
         assert len(batches) == 2
+
+
+class TestStructuredGrammar:
+    """Round-2 hardened synthetic grammar (data/synthetic.py)."""
+
+    def test_tokens_all_in_vocab_and_deterministic(self):
+        from doc2tex_tpu.data.synthetic import (
+            SYNTH_VOCAB,
+            synth_structured_dataset,
+        )
+
+        a_imgs, a_labels = synth_structured_dataset(50, seed=3)
+        b_imgs, b_labels = synth_structured_dataset(50, seed=3)
+        assert a_labels == b_labels
+        assert all(
+            np.array_equal(x, y) for x, y in zip(a_imgs, b_imgs)
+        )
+        for lb in a_labels:
+            assert all(t in SYNTH_VOCAB for t in lb.split())
+
+    def test_structure_present_and_braced(self):
+        from doc2tex_tpu.data.synthetic import synth_structured_dataset
+
+        _, labels = synth_structured_dataset(300, seed=5, max_len=36)
+        joined = " ".join(labels)
+        for must in ("\\frac", "\\sqrt", "^", "\\begin{matrix}"):
+            assert must in joined
+        # braces balance within each label
+        for lb in labels:
+            toks = lb.split()
+            depth = 0
+            for t in toks:
+                depth += (t == "{") - (t == "}")
+                assert depth >= 0, lb
+            assert depth == 0, lb
+        # matrix rows well-formed: begin...end pairing
+        for lb in labels:
+            assert lb.count("\\begin{matrix}") == lb.count("\\end{matrix}")
+
+    def test_shapes_within_canvas(self):
+        from doc2tex_tpu.data.synthetic import synth_structured_dataset
+
+        imgs, _ = synth_structured_dataset(
+            100, seed=7, max_h=220, max_w=500
+        )
+        for im in imgs:
+            assert im.ndim == 2 and im.dtype == np.uint8
+            assert im.shape[0] <= 220 and im.shape[1] <= 500
+            assert (im == 255).any()  # white background present
