@@ -279,22 +279,26 @@ def gate_main() -> None:
     agg_ips = total_images / total_time
     for r in rows:
         print(json.dumps(r), file=sys.stderr)
-    print(
-        json.dumps(
-            {
-                "metric": (
-                    "gate-config images/sec/chip (test.yaml: 448x960 ladder, "
-                    f"beam={cfg['beam_size']}, max_len={max_len}, "
-                    f"{len(mix)}-bucket mix)"
-                ),
-                "value": round(agg_ips, 3),
-                "unit": "images/sec",
-                "buckets": len(mix),
-                "compiled_programs": compile_count,
-                "per_bucket": rows,
-            }
-        )
+    result = {
+        "metric": (
+            "gate-config images/sec/chip (test.yaml: 448x960 ladder, "
+            f"beam={cfg['beam_size']}, max_len={max_len}, "
+            f"{len(mix)}-bucket mix)"
+        ),
+        "value": round(agg_ips, 3),
+        "unit": "images/sec",
+        "buckets": len(mix),
+        "compiled_programs": compile_count,
+        "per_bucket": rows,
+    }
+    base_path = os.path.join(
+        os.path.dirname(__file__), "tools", "gate_baseline_measured.json"
     )
+    if os.path.exists(base_path):
+        with open(base_path) as f:
+            base = json.load(f)["images_per_sec"]
+        result["vs_baseline"] = round(agg_ips / base, 2)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

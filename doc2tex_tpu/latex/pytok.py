@@ -260,9 +260,34 @@ class _Normalizer:
         return " ".join(self.out)
 
 
+def _merge_env_names(toks: list[str]) -> list[str]:
+    """Tokenize-mode env-name merge: the reference's parser-built emission
+    rewrites ``\\begin { m a t r i x }`` to ``\\begin {matrix}`` after the
+    env-name function parses (``Parser.js:434,458`` global_str surgery), so
+    the token stream carries ``{matrix}`` as ONE token."""
+    out: list[str] = []
+    i, n = 0, len(toks)
+    while i < n:
+        t = toks[i]
+        if t in ("\\begin", "\\end") and i + 1 < n and toks[i + 1] == "{":
+            j = i + 2
+            name = ""
+            while j < n and toks[j] != "}":
+                name += toks[j]
+                j += 1
+            if j < n:  # closed: emit the merged form
+                out.append(t)
+                out.append("{" + name + "}")
+                i = j + 1
+                continue
+        out.append(t)
+        i += 1
+    return out
+
+
 def normalize_string(line: str, mode: str = "normalize") -> str:
     flatten = not any(k in line for k in ("matrix", "cases", "array", "begin"))
     toks = lex(line)
     if mode == "tokenize":
-        return " ".join(t for t in toks if t != "$")
+        return " ".join(t for t in _merge_env_names(toks) if t != "$")
     return _Normalizer(toks, flatten).run()

@@ -272,9 +272,30 @@ string normalize_string(const string& input, int mode) {
                    input.find("array") == string::npos &&
                    input.find("begin") == string::npos;
     vector<string> toks = lex(input);
-    if (mode == 0) {  // tokenize: raw lexer stream ($ and comments stripped)
+    if (mode == 0) {
+        // tokenize: lexer stream ($/comments stripped) with the reference's
+        // parser-built env-name merge ("\begin { m a t r i x }" ->
+        // "\begin {matrix}", Parser.js:434,458 global_str surgery)
+        vector<string> merged;
+        for (size_t i = 0; i < toks.size();) {
+            const string& t = toks[i];
+            if ((t == "\\begin" || t == "\\end") && i + 1 < toks.size() &&
+                toks[i + 1] == "{") {
+                size_t j = i + 2;
+                string name;
+                while (j < toks.size() && toks[j] != "}") name += toks[j++];
+                if (j < toks.size()) {
+                    merged.push_back(t);
+                    merged.push_back("{" + name + "}");
+                    i = j + 1;
+                    continue;
+                }
+            }
+            merged.push_back(t);
+            ++i;
+        }
         string out;
-        for (const auto& t : toks) {
+        for (const auto& t : merged) {
             if (t == "$") continue;
             if (!out.empty()) out += ' ';
             out += t;
