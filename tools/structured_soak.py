@@ -130,11 +130,14 @@ def main() -> None:
         state, m = step(state, jnp.asarray(batch.images), jnp.asarray(batch.text), rng)
         it += 1
         losses.append(m["loss"])
-        if it % 2000 == 0:
+        if it % 500 == 0:
             loss = float(jnp.mean(jnp.stack([jnp.asarray(x) for x in losses[-50:]])))
             rate = (it - start) / max(time.time() - t0, 1e-9)
             print(f"[{it}] loss {loss:.4f} ({rate:.1f} steps/s)", flush=True)
             losses.clear()
+        if it % 5000 == 0 and it % args.eval_every:
+            # frequent cheap checkpoint so interrupted slices resume
+            save_checkpoint(ckpt, state, {"iter": it})
         if it % args.eval_every == 0:
             run_eval(it, t0)
         if it >= args.steps:
