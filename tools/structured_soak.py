@@ -46,9 +46,9 @@ CURVE_PATH = os.path.join(
 
 def build(steps: int):
     cfg = make_config(dict(
-        max_dimension=[224, 512], min_dimension=[32, 32],
-        batch_max_length=48, batch_size=32, augment=True,
-        bucket_growth=1.6,  # tall 2D layouts: coarser ladder, fewer compiles
+        max_dimension=[160, 448], min_dimension=[32, 32],
+        batch_max_length=48, batch_size=48, augment=True,
+        bucket_growth=2.2,  # 1-CPU box: keep the compile count ~a dozen
         FeatureExtraction={"name": "None"},
         SequenceModeling={"name": "ViT", "params": {
             "backbone": {"name": "resnet", "input_channel": 1,
@@ -78,7 +78,7 @@ def main() -> None:
     args = ap.parse_args()
 
     cfg = build(args.steps)
-    kw = {"min_len": 4, "max_len": 44, "max_h": 220, "max_w": 500}
+    kw = {"min_len": 4, "max_len": 44, "max_h": 156, "max_w": 440}
     tr_images, tr_labels = synth_structured_dataset(args.n_train, seed=31, **kw)
     ev_images, ev_labels = synth_structured_dataset(args.n_eval, seed=32, **kw)
     conv = AttnLabelConverter(SYNTH_VOCAB)
