@@ -47,7 +47,10 @@ class MathDetector:
         self.batch_size = batch_size
         if variables is None:
             dummy = jnp.zeros((1, window, window, 3), jnp.float32)
-            variables = self.model.init(jax.random.PRNGKey(seed), dummy)
+            # jitted: eager flax init is pathological on tunneled devices
+            variables = jax.jit(self.model.init)(
+                jax.random.PRNGKey(seed), dummy
+            )
         self.variables = variables
         self._detect = jax.jit(self._detect_impl)
 

@@ -39,13 +39,22 @@ def init_model(
     image_shape: tuple[int, int, int, int],
     text_width: int,
 ):
-    """Initialize variables with a dummy batch (shapes are static anyway)."""
+    """Initialize variables with a dummy batch (shapes are static anyway).
+
+    The init is jitted: eager flax init dispatches hundreds of tiny ops,
+    which over the tunneled device (~2s/op) costs many minutes before any
+    run starts; one compiled program makes it a single dispatch."""
     img = jnp.zeros(image_shape, jnp.float32)
     txt = jnp.zeros((image_shape[0], text_width), jnp.int32)
     p_rng, d_rng = jax.random.split(rng)
-    variables = model.init(
-        {"params": p_rng, "dropout": d_rng}, img, txt, train=False
-    )
+
+    @jax.jit
+    def _init(p_rng, d_rng, img, txt):
+        return model.init(
+            {"params": p_rng, "dropout": d_rng}, img, txt, train=False
+        )
+
+    variables = _init(p_rng, d_rng, img, txt)
     return variables["params"], variables.get("batch_stats", {})
 
 
@@ -60,7 +69,7 @@ def create_train_state(
     text_width = config["batch_max_length"] + 1  # encoded[:, :-1]
     params, batch_stats = init_model(model, rng, image_shape, text_width)
     tx = optimizer_from_config(config, params)
-    opt_state = tx.init(params)
+    opt_state = jax.jit(tx.init)(params)  # eager zeros-like = 2 ops/param
     return TrainState(jnp.int32(0), params, batch_stats, opt_state), tx
 
 

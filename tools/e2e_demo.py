@@ -38,6 +38,11 @@ from doc2tex_tpu.engine.inferencing import validation
 
 
 def main(steps: int = 16000, n_train: int = 4096, n_eval: int = 64) -> None:
+    try:  # persistent compile cache (remote grad compiles are minutes each)
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     cfg = make_config(dict(
         max_dimension=[64, 512], min_dimension=[32, 32], batch_max_length=24,
         batch_size=32, augment=True,
