@@ -60,11 +60,21 @@ vector<string> lex(const string& s) {
                 toks.push_back(s.substr(i, j - i));
                 i = j;
             } else if (i + 1 < n) {
-                toks.push_back(s.substr(i, 2));
-                i += 2;
+                size_t j = i + 2;  // backslash + one codepoint (UTF-8 aware)
+                if (s[i + 1] & 0x80)
+                    while (j < n && (s[j] & 0xC0) == 0x80) ++j;
+                toks.push_back(s.substr(i, j - i));
+                i = j;
             } else {
                 ++i;
             }
+            continue;
+        }
+        if (c & 0x80) {  // UTF-8 multibyte: one codepoint = one token,
+            size_t j = i + 1;  // matching the Python twin's str semantics
+            while (j < n && (s[j] & 0xC0) == 0x80) ++j;
+            toks.push_back(s.substr(i, j - i));
+            i = j;
             continue;
         }
         toks.push_back(string(1, c));

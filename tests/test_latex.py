@@ -305,3 +305,36 @@ class TestTokenizerFuzz:
         out = latex_normalize(s, "normalize")
         assert out == py_normalize(s, "normalize")
         assert len(out) > 10000  # exercised the buffer regrow path
+
+
+class TestUnicodeParity:
+    """UTF-8 codepoints must lex identically in C++ (bytes) and Python
+    (str): one codepoint = one token."""
+
+    CASES = [
+        "α + β = γ", "x ∈ ℝ", "\\α test", "café ≤ ∞",
+        "ψ(t) = ∫ φ dμ", "\\frac{α}{β}",
+    ]
+
+    @pytest.mark.parametrize("s", CASES)
+    def test_native_matches_python(self, s):
+        try:
+            from doc2tex_tpu.native import latex_normalize, latex_validate
+        except Exception:
+            pytest.skip("native kernel not built")
+        from doc2tex_tpu.latex.validate import validate_formula
+
+        for mode in ("tokenize", "normalize"):
+            assert latex_normalize(s, mode) == py_normalize(s, mode)
+        for strict in (True, False):
+            assert latex_validate(s, strict) == validate_formula(s, strict)
+
+    def test_codepoint_not_split(self):
+        from doc2tex_tpu.latex.pytok import lex
+
+        assert lex("αβ") == ["α", "β"]
+        try:
+            from doc2tex_tpu.native import latex_normalize
+        except Exception:
+            pytest.skip("native kernel not built")
+        assert latex_normalize("αβ", "tokenize") == "α β"
