@@ -46,8 +46,14 @@ class App:
         detect_weights=None,
         use_detect: bool = True,
         conf_thresh: float = 0.5,
+        stitch: bool = False,
+        stitch_votes: float = 8,
     ):
         self.use_detect = use_detect
+        # stitch=True replaces page-level NMS with the voting stitch the
+        # reference uses for full-PDF processing (gtdb/stitch_patches_pdf)
+        self.stitch = stitch
+        self.stitch_votes = stitch_votes
         self.detector = (
             MathDetector(variables=detect_weights, conf_thresh=conf_thresh)
             if use_detect
@@ -63,7 +69,27 @@ class App:
             h, w = page.shape[:2]
             return [((0, 0, w, h), latex)]
         resized, scale = detect_preprocess(page)
-        boxes, scores = self.detector.detect_page(resized)
+        if self.stitch:
+            from doc2tex_tpu.detection.stitch import stitch_page
+
+            raw_boxes, raw_scores = self.detector.detect_page(
+                resized, nms_iou=1.0  # keep raw dets; stitch dedups
+            )
+            bs = (
+                np.concatenate([raw_boxes, raw_scores[:, None]], axis=1)
+                if len(raw_boxes)
+                else np.zeros((0, 5), np.float32)
+            )
+            boxes = np.asarray(
+                stitch_page(
+                    bs, resized.shape[:2], page_image=resized,
+                    thresh_votes=self.stitch_votes,
+                ),
+                np.float32,
+            ).reshape(-1, 4)
+            scores = np.ones(len(boxes), np.float32)
+        else:
+            boxes, scores = self.detector.detect_page(resized)
         crops = self.detector.crop_regions(resized, boxes)
         crops = [c for c in crops if c.size > 0]
         if not crops:
@@ -82,6 +108,12 @@ def _cli() -> None:
     p.add_argument("--recog_config", default=None)
     p.add_argument("--recog_weights", default=None)
     p.add_argument("--no_detect", action="store_true")
+    p.add_argument(
+        "--stitch", action="store_true",
+        help="voting-stitch page regions instead of NMS (reference "
+        "full-PDF path, gtdb/stitch_patches_pdf.py)",
+    )
+    p.add_argument("--stitch_votes", type=float, default=8)
     args = p.parse_args()
 
     from PIL import Image
@@ -104,6 +136,8 @@ def _cli() -> None:
         recog_config=cfg,
         recog_weights=args.recog_weights,
         use_detect=not args.no_detect,
+        stitch=args.stitch,
+        stitch_votes=args.stitch_votes,
     )
     for box, latex in app(page):
         print(f"{box}\t{latex}")

@@ -1,0 +1,74 @@
+"""Demo App pipeline tests (demo/app.py): detect -> crop -> recognize,
+including the round-2 voting-stitch option."""
+
+import sys
+import os
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def small_recog_config():
+    from tests.test_loader_engine import small_config
+
+    return small_config()
+
+
+class TestAppNoDetect:
+    def test_whole_page_recognition(self):
+        from demo.app import App
+
+        app = App(recog_config=small_recog_config(), use_detect=False)
+        page = np.full((48, 96), 255, np.uint8)
+        page[10:30, 10:80] = 0
+        out = app(page)
+        assert len(out) == 1
+        (box, latex), = out
+        assert box == (0, 0, 96, 48)
+        assert isinstance(latex, str)
+
+
+class TestAppStitch:
+    def test_stitch_branch_with_canned_detector(self, monkeypatch):
+        from demo.app import App
+
+        app = App.__new__(App)  # skip SSD init cost
+        from doc2tex_tpu.recognition.flow import MathRecognition
+
+        app.use_detect = True
+        app.stitch = True
+        app.stitch_votes = 3
+        app.recognizer = MathRecognition(config=small_recog_config())
+
+        class FakeDetector:
+            def detect_page(self, page, nms_iou=None):
+                assert nms_iou == 1.0  # stitch wants raw detections
+                boxes = np.array(
+                    [
+                        [38, 48, 205, 82],
+                        [42, 52, 198, 78],
+                        [40, 50, 200, 80],
+                        [41, 49, 202, 81],
+                    ],
+                    np.float32,
+                )
+                return boxes, np.full(len(boxes), 0.9, np.float32)
+
+            def crop_regions(self, page, boxes):
+                return [
+                    page[int(y1):int(y2), int(x1):int(x2)]
+                    for x1, y1, x2, y2 in boxes
+                ]
+
+        app.detector = FakeDetector()
+        page = np.full((700, 1280), 255, np.uint8)
+        page[50:80, 40:200] = 0
+        out = app(page)
+        assert len(out) == 1  # four overlapping dets -> one stitched region
+        box, latex = out[0]
+        # fit-to-ink snapped to the ink bounds (page is pre-resize 1280-wide
+        # so scale == 1.0)
+        assert box == (40, 50, 200, 80)
+        assert isinstance(latex, str)
