@@ -135,9 +135,27 @@ def _import_attn_decoder(params, sd) -> None:
         params[f"{o}/b_loc"] = np.asarray(sd[f"{attn}.loc_proj.bias"])
     for rn, on in (("query_proj", "query"), ("key_proj", "key"), ("score", "score")):
         key = f"{attn}.{rn}" if f"{attn}.{rn}.weight" in sd else f"{cell}.{rn}"
-        if f"{key}.weight" in sd:
+        # bias check too: bahdanau's bias-free projections map below
+        if f"{key}.weight" in sd and f"{key}.bias" in sd:
             params[f"{o}/w_{on}"] = _lin(sd[f"{key}.weight"])
             params[f"{o}/b_{on}"] = np.asarray(sd[f"{key}.bias"])
+    # luong cell (reference LuongAttentionCell, attention1D.py:38-71):
+    # fc (no bias) for general/concat, `weight` (1, H) as the concat v
+    if f"{attn}.fc.weight" in sd:
+        params[f"{o}/w_luong"] = _lin(sd[f"{attn}.fc.weight"])
+    if f"{attn}.weight" in sd:
+        params[f"{o}/v_luong"] = np.asarray(sd[f"{attn}.weight"]).T
+    # bahdanau cell (BahdanauAttentionCell, attention1D.py:74-86):
+    # i2h -> key (bias-free), h2h -> query (with bias), score (bias-free)
+    if f"{attn}.i2h.weight" in sd:
+        params[f"{o}/w_key"] = _lin(sd[f"{attn}.i2h.weight"])
+        params[f"{o}/b_key"] = np.zeros(
+            sd[f"{attn}.i2h.weight"].shape[0], np.float32
+        )
+        params[f"{o}/w_query"] = _lin(sd[f"{attn}.h2h.weight"])
+        params[f"{o}/b_query"] = np.asarray(sd[f"{attn}.h2h.bias"])
+        params[f"{o}/w_score"] = _lin(sd[f"{attn}.score.weight"])
+        params[f"{o}/b_score"] = np.zeros(1, np.float32)
     params[f"{o}/w_ih"] = _lin(sd[f"{cell}.rnn.weight_ih"])
     params[f"{o}/w_hh"] = _lin(sd[f"{cell}.rnn.weight_hh"])
     params[f"{o}/b_ih"] = np.asarray(sd[f"{cell}.rnn.bias_ih"])

@@ -411,3 +411,133 @@ class TestGCBParity:
         np.testing.assert_allclose(
             np.asarray(j_enc), t_enc.numpy(), rtol=2e-3, atol=5e-4
         )
+
+
+# ---------------------------------------------------------------------------
+# v1 Attention head with the other attention cells (luong x3 / bahdanau)
+
+
+def _cell_cfgs(attn_type, method):
+    ref = ref_config(torch.device("cpu"))
+    ref["Prediction"] = {
+        "name": "Attn",
+        "params": {
+            "seqmodel": "ViT", "input_size": 64, "hidden_size": 64,
+            "kernel_size": 2, "kernel_dim": 32, "embed_target": True,
+            "enc_init": True, "attn_type": attn_type, "method": method,
+            "teacher_forcing": 1.0, "droprate": 0.0,
+        },
+    }
+    ours = our_config()
+    ours["Prediction"] = {
+        "name": "Attn",
+        "params": {
+            "seqmodel": "ViT", "input_size": 64, "hidden_size": 64,
+            "kernel_size": 2, "kernel_dim": 32, "embed_target": True,
+            "enc_init": True, "attn_type": attn_type, "method": method,
+            "droprate": 0.0,
+        },
+    }
+    return ref, ours
+
+
+@pytest.mark.parametrize(
+    "attn_type,method",
+    [
+        ("bahdanau", "concat"),
+    ],
+)
+class TestAttnV1CellParity:
+    """Numerics parity for the non-coverage attention cells under the v1
+    Attention head (reference BahdanauAttention, attention1D.py:74-118).
+
+    The reference's v1+luong path cannot be compared: ``forward_greedy``
+    calls ``attention_cell.reset_mem()`` unconditionally (seq2seq.py:284)
+    and ``LuongAttention`` defines no such method — every v1 luong config
+    crashes upstream (see TestReferenceLuongBroken).  Our luong cells are
+    unit-tested in test_model_variants instead.
+    """
+
+    def _build(self, attn_type, method):
+        from doc2tex.modules.build_model import Model as RefModel
+
+        ref_cfg, ours_cfg = _cell_cfgs(attn_type, method)
+        torch.manual_seed(0)
+        ref = RefModel(ref_cfg).to(torch.device("cpu")).eval()
+        ours = build_model(ours_cfg, V)
+        img = jnp.zeros((2, H_IMG, W_IMG, 1), jnp.float32)
+        txt = jnp.zeros((2, 13), jnp.int32)
+        variables = ours.init(jax.random.PRNGKey(0), img, txt, False)
+        sd = {k: v.numpy() for k, v in ref.state_dict().items()}
+        params, stats, missing = import_torch_state_dict(
+            sd, ours_cfg, variables["params"], variables.get("batch_stats", {})
+        )
+        assert not missing, f"unmapped params for {attn_type}/{method}: {missing}"
+        return ref, ours, {"params": params, "batch_stats": stats}, ours_cfg
+
+    def test_teacher_forced_logits_match(self, attn_type, method):
+        ref, ours, variables, _ = self._build(attn_type, method)
+        rng = np.random.default_rng(2)
+        image = rng.uniform(-1, 1, size=(2, H_IMG, W_IMG, 1)).astype(np.float32)
+        text = rng.integers(0, V, size=(2, 13)).astype(np.int64)
+        text[:, 0] = 0
+        with torch.no_grad():
+            t_out = ref(
+                torch.from_numpy(np.transpose(image, (0, 3, 1, 2))),
+                torch.from_numpy(text),
+                is_train=True,
+            )
+        j_logits = ours.apply(
+            variables, jnp.asarray(image), jnp.asarray(text.astype(np.int32)),
+            False,
+        )
+        np.testing.assert_allclose(
+            np.asarray(j_logits), t_out[1].numpy(), rtol=2e-3, atol=5e-4
+        )
+
+    def test_greedy_decode_tokens_match(self, attn_type, method):
+        from doc2tex_tpu.decode.runner import make_decode_fn
+
+        ref, ours, variables, cfg = self._build(attn_type, method)
+        rng = np.random.default_rng(3)
+        image = rng.uniform(-1, 1, size=(2, H_IMG, W_IMG, 1)).astype(np.float32)
+        text_for_pred = torch.zeros((2, 14), dtype=torch.long)
+        with torch.no_grad():
+            t_out = ref(
+                torch.from_numpy(np.transpose(image, (0, 3, 1, 2))),
+                text_for_pred, is_train=False, is_test=True,
+            )
+        t_tokens = t_out[0]
+        if t_tokens.dtype != torch.long:
+            t_tokens = t_tokens.argmax(-1)
+        t_tokens = t_tokens.numpy()
+
+        raw = np.clip((image * 0.5 + 0.5) * 255.0, 0, 255)
+        decode = make_decode_fn(ours, cfg, beam_size=1, max_steps=13)
+        j_tokens = np.asarray(decode(variables, jnp.asarray(raw))[0])
+        for b in range(2):
+            j_row = j_tokens[b].tolist()
+            j_cut = j_row[: j_row.index(1) + 1] if 1 in j_row else j_row
+            assert t_tokens[b].tolist()[: len(j_cut)] == j_cut, (
+                attn_type, method, b,
+            )
+
+
+class TestReferenceLuongBroken:
+    def test_reference_v1_luong_crashes_upstream(self):
+        """Documented upstream defect: the reference Attention head with
+        attn_type='luong' raises AttributeError in forward_greedy because
+        LuongAttention lacks reset_mem (seq2seq.py:284 calls it
+        unconditionally; attention1D.py:8-71 never defines it).  Our
+        implementation supports luong fully (tests/test_model_variants)."""
+        from doc2tex.modules.build_model import Model as RefModel
+
+        cfg, _ = _cell_cfgs("luong", "dot")
+        torch.manual_seed(0)
+        ref = RefModel(cfg).to(torch.device("cpu")).eval()
+        with torch.no_grad(), pytest.raises(AttributeError, match="reset_mem"):
+            ref(
+                torch.zeros((1, 1, H_IMG, W_IMG)),
+                torch.zeros((1, 14), dtype=torch.long),
+                is_train=True,
+            )
