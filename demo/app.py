@@ -73,7 +73,7 @@ class App:
             from doc2tex_tpu.detection.stitch import stitch_page
 
             raw_boxes, raw_scores = self.detector.detect_page(
-                resized, nms_iou=1.0  # keep raw dets; stitch dedups
+                resized, raw=True  # no NMS/top-k cap; stitch dedups by voting
             )
             bs = (
                 np.concatenate([raw_boxes, raw_scores[:, None]], axis=1)

@@ -296,16 +296,27 @@ def synth_structured_sample(
     max_h: int = 256,
     max_w: int = 900,
 ) -> tuple[np.ndarray, str]:
-    """One structured (image, label): nested LaTeX layout, exact labels."""
-    scale = int(rng.integers(2, 4))
-    ink = int(rng.integers(0, 60))
+    """One structured (image, label): nested LaTeX layout, exact labels.
+
+    Oversized renders are REgenerated with a halved token budget rather
+    than clipped — clipping would cut pixels off while the label kept the
+    lost tokens, breaking the decodable-label contract (and capping EM).
+    """
     budget = int(rng.integers(min_len, max_len + 1))
-    gen = _StructGen(rng, scale, ink, max_tokens=budget)
-    img, toks = gen.expr(0, max_atoms=8)
-    # white margin + clip to canvas limits
-    pad = int(rng.integers(2, 8))
-    img = np.pad(img, pad, constant_values=_WHITE)
-    img = img[:max_h, :max_w]
+    for _ in range(8):
+        scale = int(rng.integers(2, 4))
+        ink = int(rng.integers(0, 60))
+        gen = _StructGen(rng, scale, ink, max_tokens=budget)
+        img, toks = gen.expr(0, max_atoms=8)
+        pad = int(rng.integers(2, 8))
+        img = np.pad(img, pad, constant_values=_WHITE)
+        if img.shape[0] <= max_h and img.shape[1] <= max_w:
+            break
+        budget = max(budget // 2, min_len)
+    else:  # guaranteed-small fallback: symbols only at min scale
+        gen = _StructGen(rng, 2, 0, max_tokens=min_len, max_depth=0)
+        img, toks = gen.expr(0, max_atoms=min_len)
+        img = np.pad(img, 4, constant_values=_WHITE)
     h = max(img.shape[0], 24)
     w = max(img.shape[1], 32)
     canvas = np.full((h, w), _WHITE, np.uint8)

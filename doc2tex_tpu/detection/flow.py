@@ -69,9 +69,17 @@ class MathDetector:
         )
 
     def detect_page(
-        self, page: np.ndarray, nms_iou: Optional[float] = None
+        self,
+        page: np.ndarray,
+        nms_iou: Optional[float] = None,
+        raw: bool = False,
     ) -> tuple[np.ndarray, np.ndarray]:
-        """Full pipeline: returns (boxes (K, 4) page pixels, scores (K,))."""
+        """Full pipeline: returns (boxes (K, 4) page pixels, scores (K,)).
+
+        ``raw=True`` returns every unmapped windowed detection without
+        page-level NMS or its top-200 cap — the input the voting stitch
+        wants (stitch.py dedups by voting, so truncation would silently
+        drop low-score regions)."""
         windows, info = rolling_windows(page, self.stride, self.window)
         all_boxes, all_scores = [], []
         B = self.batch_size
@@ -93,7 +101,7 @@ class MathDetector:
         page_boxes, page_scores = unmap_boxes(
             boxes, scores, info, self.window, score_thresh=0.0
         )
-        if len(page_boxes) == 0:
+        if raw or len(page_boxes) == 0:
             return page_boxes, page_scores
         # page-level NMS (reference demo/app.py:152, IoU 0.1)
         H, W = page.shape[:2]

@@ -65,10 +65,14 @@ def vote_for_regions(
     return (votes >= thresh_votes).astype(np.uint8)
 
 
-def fit_box(im_bw: np.ndarray, box) -> list[int]:
+def fit_box(im_bw: np.ndarray, box, components=None) -> list[int]:
     """Contract a box to its ink, then expand it over every connected
     component it touches (reference ``fit_box.adjust_box``: contract +
-    BFS expand — component-union is the vectorized equivalent)."""
+    BFS expand — component-union is the vectorized equivalent).
+
+    ``components``: optional precomputed ``(labeled, slices)`` of
+    ``im_bw`` so callers fitting many boxes label the page once.
+    """
     x1, y1, x2, y2 = (int(round(v)) for v in box[:4])
     region = im_bw[y1:y2, x1:x2]
     if region.size == 0 or not region.any():
@@ -78,17 +82,31 @@ def fit_box(im_bw: np.ndarray, box) -> list[int]:
     x1c, y1c = x1 + cols[0], y1 + rows[0]
     x2c, y2c = x1 + cols[-1] + 1, y1 + rows[-1] + 1
 
-    labeled, n = ndimage.label(im_bw, structure=np.ones((3, 3), int))
+    if components is None:
+        components = _ink_components(im_bw)
+    labeled, slices = components
     touching = np.unique(labeled[y1c:y2c, x1c:x2c])
     touching = touching[touching != 0]
     if touching.size == 0:
         return [x1c, y1c, x2c, y2c]
-    slices = ndimage.find_objects(labeled)
     for comp in touching:
         ys, xs = slices[comp - 1]
         x1c, y1c = min(x1c, xs.start), min(y1c, ys.start)
         x2c, y2c = max(x2c, xs.stop), max(y2c, ys.stop)
     return [x1c, y1c, x2c, y2c]
+
+
+def _ink_components(im_bw: np.ndarray):
+    labeled, _ = ndimage.label(im_bw, structure=np.ones((3, 3), int))
+    return labeled, ndimage.find_objects(labeled)
+
+
+def _to_ink_mask(page_image: np.ndarray) -> np.ndarray:
+    """uint8 page (grayscale or RGB) -> binary ink mask (ink dark)."""
+    img = np.asarray(page_image)
+    if img.ndim == 3:  # RGB page: reduce like fit_box.convert_to_binary
+        img = np.round(img.astype(np.float32).mean(axis=-1)).astype(np.uint8)
+    return (img <= 127).astype(np.uint8)
 
 
 def stitch_page(
@@ -107,15 +125,16 @@ def stitch_page(
     """
     votes = vote_for_regions(boxes_scores, page_hw, algorithm, thresh_votes)
     labeled, n = ndimage.label(votes, structure=np.ones((3, 3), int))
-    im_bw = None
+    im_bw = components = None
     if page_image is not None and postprocess:
-        im_bw = (np.asarray(page_image) <= 127).astype(np.uint8)
+        im_bw = _to_ink_mask(page_image)
+        components = _ink_components(im_bw)  # label the page ONCE
 
     boxes: list[list[int]] = []
     for ys, xs in ndimage.find_objects(labeled):
         box = [xs.start, ys.start, xs.stop, ys.stop]
         if im_bw is not None:
-            box = fit_box(im_bw, box)
+            box = fit_box(im_bw, box, components)
         if box[2] - box[0] < 1 or box[3] - box[1] < 1:
             continue
         boxes.append(box)

@@ -41,6 +41,13 @@ DELIM_SIZERS = {
 DROP = {"\\allowbreak", "\\noalign", "\\smallskip", "\\medskip", "\\bigskip"}
 
 
+def _ascii_letter(c: str) -> bool:
+    """Control words are ASCII-letter runs, like the KaTeX lexer regex
+    ``\\\\(?:[a-zA-Z]+|...)`` (Lexer.js tokenRegex) and the C++ twin —
+    str.isalpha would wrongly extend commands across unicode letters."""
+    return "a" <= c <= "z" or "A" <= c <= "Z"
+
+
 def lex(s: str) -> list[str]:
     toks: list[str] = []
     i, n = 0, len(s)
@@ -54,9 +61,9 @@ def lex(s: str) -> list[str]:
                 i += 1
             continue
         if c == "\\":
-            if i + 1 < n and s[i + 1].isalpha():
+            if i + 1 < n and _ascii_letter(s[i + 1]):
                 j = i + 1
-                while j < n and s[j].isalpha():
+                while j < n and _ascii_letter(s[j]):
                     j += 1
                 if j < n and s[j] == "*":
                     j += 1

@@ -149,3 +149,15 @@ class TestStructuredGrammar:
             assert im.ndim == 2 and im.dtype == np.uint8
             assert im.shape[0] <= 220 and im.shape[1] <= 500
             assert (im == 255).any()  # white background present
+
+    def test_no_clipped_labels(self):
+        # oversized renders regenerate instead of clipping: no ink may
+        # touch the canvas edge (would mean label tokens without pixels)
+        from doc2tex_tpu.data.synthetic import synth_structured_dataset
+
+        imgs, _ = synth_structured_dataset(
+            400, seed=31, min_len=4, max_len=44, max_h=156, max_w=440
+        )
+        for im in imgs:
+            assert not (im[-1, :] < 200).any()
+            assert not (im[:, -1] < 200).any()

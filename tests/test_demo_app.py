@@ -43,8 +43,8 @@ class TestAppStitch:
         app.recognizer = MathRecognition(config=small_recog_config())
 
         class FakeDetector:
-            def detect_page(self, page, nms_iou=None):
-                assert nms_iou == 1.0  # stitch wants raw detections
+            def detect_page(self, page, nms_iou=None, raw=False):
+                assert raw  # stitch wants every det, no NMS/top-k cap
                 boxes = np.array(
                     [
                         [38, 48, 205, 82],

@@ -241,3 +241,27 @@ class TestSSDTrainToEval:
         )
         assert set(["coarse_f", "fine_f", "allGTbox", "allDet"]) <= set(out)
         assert out["allGTbox"] == 1
+
+
+class TestStitchRgbAndRaw:
+    def test_rgb_page_image(self):
+        from doc2tex_tpu.detection.stitch import stitch_page
+
+        page = np.full((200, 300, 3), 255, np.uint8)
+        page[50:80, 40:120] = 0
+        dets = np.array(
+            [[40, 50, 120, 80, 0.9], [42, 52, 118, 78, 0.9]], np.float32
+        )
+        out = stitch_page(dets, (200, 300), page_image=page, thresh_votes=2)
+        assert out == [[40, 50, 120, 80]]
+
+    def test_detect_page_raw_skips_nms(self):
+        from doc2tex_tpu.detection.flow import MathDetector
+
+        det = MathDetector(conf_thresh=0.01, stride=(512, 512), batch_size=2)
+        page = np.full((512, 512), 255, np.uint8)
+        page[100:160, 50:400] = 0
+        raw_b, raw_s = det.detect_page(page, raw=True)
+        nms_b, nms_s = det.detect_page(page)
+        # raw returns at least as many detections as the NMS'd path
+        assert len(raw_b) >= len(nms_b)

@@ -338,3 +338,22 @@ class TestUnicodeParity:
         except Exception:
             pytest.skip("native kernel not built")
         assert latex_normalize("αβ", "tokenize") == "α β"
+
+
+class TestMixedScriptLexing:
+    def test_control_words_are_ascii_only(self):
+        # KaTeX lexer regex \\[a-zA-Z]+ stops at non-ASCII; both twins must
+        from doc2tex_tpu.latex.pytok import lex
+
+        assert lex("\\aα") == ["\\a", "α"]
+        try:
+            from doc2tex_tpu.native import latex_normalize, latex_validate
+        except Exception:
+            pytest.skip("native kernel not built")
+        from doc2tex_tpu.latex.validate import validate_formula
+
+        s = "\\aα + x"
+        for mode in ("tokenize", "normalize"):
+            assert latex_normalize(s, mode) == py_normalize(s, mode)
+        for strict in (True, False):
+            assert latex_validate(s, strict) == validate_formula(s, strict)
