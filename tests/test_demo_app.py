@@ -1,13 +1,27 @@
 """Demo App pipeline tests (demo/app.py): detect -> crop -> recognize,
 including the round-2 voting-stitch option."""
 
-import sys
+import importlib.util
 import os
+import sys
 
 import numpy as np
 import pytest
 
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def load_demo_app():
+    """Import OUR demo/app.py by path: the torch-parity tests put
+    /root/reference on sys.path, where a same-named reference `demo`
+    package would otherwise shadow ours in full-suite runs."""
+    spec = importlib.util.spec_from_file_location(
+        "d2t_demo_app", os.path.join(REPO, "demo", "app.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
 
 
 def small_recog_config():
@@ -18,7 +32,7 @@ def small_recog_config():
 
 class TestAppNoDetect:
     def test_whole_page_recognition(self):
-        from demo.app import App
+        App = load_demo_app().App
 
         app = App(recog_config=small_recog_config(), use_detect=False)
         page = np.full((48, 96), 255, np.uint8)
@@ -32,7 +46,7 @@ class TestAppNoDetect:
 
 class TestAppStitch:
     def test_stitch_branch_with_canned_detector(self, monkeypatch):
-        from demo.app import App
+        App = load_demo_app().App
 
         app = App.__new__(App)  # skip SSD init cost
         from doc2tex_tpu.recognition.flow import MathRecognition

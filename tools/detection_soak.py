@@ -1,0 +1,149 @@
+"""SSD detection convergence soak on synthetic GTDB-style pages.
+
+Trains the flax SSD512 with the jitted MultiBox train step on generated
+page images (black formula bars on white, .pmath-style boxes), then
+evaluates held-out pages through detect -> stitch -> CROHME coarse/fine
+scoring — the full detection stack learning end-to-end, which the unit
+tests only smoke.
+
+Run (real TPU): python tools/detection_soak.py [--steps N]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def synth_page(rng, size=512, max_regions=4):
+    """One (image u8 (S,S), boxes (K,4) normalized corner) page."""
+    img = np.full((size, size), 255, np.uint8)
+    boxes = []
+    k = int(rng.integers(1, max_regions + 1))
+    for _ in range(k):
+        h = int(rng.integers(20, 60))
+        w = int(rng.integers(80, 300))
+        y = int(rng.integers(0, size - h))
+        x = int(rng.integers(0, size - w))
+        # formula-ish ink: dense bar with random gaps
+        patch = (rng.random((h, w)) < 0.6).astype(np.uint8)
+        img[y : y + h, x : x + w][patch > 0] = int(rng.integers(0, 60))
+        boxes.append([x / size, y / size, (x + w) / size, (y + h) / size])
+    return img, np.asarray(boxes, np.float32)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=400)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--n_eval", type=int, default=8)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    from doc2tex_tpu.detection import SSD512, batched_detect, make_priors
+    from doc2tex_tpu.detection.data import make_detection_train_step
+    from doc2tex_tpu.detection.evaluate import crohme_detection_scores
+    from doc2tex_tpu.detection.priors import MATH_GTDB_512
+    from doc2tex_tpu.detection.stitch import stitch_page
+
+    rng = np.random.default_rng(0)
+    model = SSD512(num_classes=2)
+    t0 = time.time()
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, 512, 512, 3), jnp.float32)
+    )
+    priors = jnp.asarray(make_priors())
+    tx = optax.adam(1e-4)
+    params = variables["params"]
+    opt_state = jax.jit(tx.init)(params)
+    step = make_detection_train_step(model, priors, tx)
+    print(f"init {time.time()-t0:.0f}s; params "
+          f"{sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))/1e6:.1f}M",
+          flush=True)
+
+    MAXB = 4
+    mean_px = np.asarray(MATH_GTDB_512["mean_pixel"], np.float32)
+
+    # device-resident pool (tunnel: per-step uploads are the bottleneck)
+    N_POOL = 256
+    imgs = np.empty((N_POOL, 512, 512, 3), np.float32)
+    gts = np.zeros((N_POOL, MAXB, 4), np.float32)
+    valid = np.zeros((N_POOL, MAXB), bool)
+    for i in range(N_POOL):
+        img, boxes = synth_page(rng)
+        imgs[i] = np.repeat(img[..., None], 3, -1).astype(np.float32) - mean_px
+        k = min(len(boxes), MAXB)
+        gts[i, :k] = boxes[:k]
+        valid[i, :k] = True
+    t0 = time.time()
+    imgs_d = jax.device_put(imgs)
+    gts_d = jax.device_put(gts)
+    valid_d = jax.device_put(valid)
+    print(f"pool upload {imgs.nbytes/1e6:.0f}MB in {time.time()-t0:.0f}s",
+          flush=True)
+
+    B = args.batch
+
+    @jax.jit
+    def pool_step(params, opt_state, key):
+        key, sub = jax.random.split(key)
+        idx = jax.random.randint(sub, (B,), 0, N_POOL)
+        p, o, metrics = step(
+            params, opt_state, imgs_d[idx], gts_d[idx], valid_d[idx]
+        )
+        return p, o, key, metrics["loss"]
+
+    key = jax.random.PRNGKey(1)
+    t0 = time.time()
+    first_loss = None
+    for it in range(1, args.steps + 1):
+        params, opt_state, key, loss = pool_step(params, opt_state, key)
+        if it in (1, 10) or it % 100 == 0:
+            lv = float(loss)
+            first_loss = first_loss if first_loss is not None else lv
+            print(f"[{it}] loss {lv:.4f} "
+                  f"({it/max(time.time()-t0,1e-9):.1f} steps/s)", flush=True)
+    final_loss = float(loss)
+    print(f"loss: {first_loss:.3f} -> {final_loss:.3f}", flush=True)
+
+    # held-out eval: detect -> stitch -> CROHME scores
+    detect = jax.jit(
+        lambda v, x: batched_detect(
+            *model.apply(v, x)[:2], priors, conf_thresh=0.3, iou_thresh=0.3
+        )
+    )
+    preds, truths = [], []
+    eval_rng = np.random.default_rng(99)
+    for _ in range(args.n_eval):
+        img, boxes = synth_page(eval_rng)
+        x = jnp.asarray(
+            (np.repeat(img[..., None], 3, -1).astype(np.float32) - mean_px)[None]
+        )
+        db, ds = detect({"params": params}, x)
+        db, ds = np.asarray(db[0]) * 512, np.asarray(ds[0])
+        keep = ds > 0.3
+        bs = np.concatenate([db[keep], ds[keep][:, None]], axis=1)
+        stitched = stitch_page(bs, (512, 512), page_image=img, thresh_votes=0.5,
+                               algorithm="max")
+        preds.append(np.asarray(stitched, np.float32).reshape(-1, 4))
+        truths.append(boxes * 512)
+    scores = crohme_detection_scores(preds, truths)
+    print("CROHME scores:", scores, flush=True)
+    print("DETECTION SOAK DONE", flush=True)
+
+
+if __name__ == "__main__":
+    main()
