@@ -127,8 +127,13 @@ def make_detection_train_step(model, priors, tx, use_focal: bool = False):
 
     loss_fn_impl = focal_loss if use_focal else multibox_loss
     mean_pix = jnp.asarray(MATH_GTDB_512["mean_pixel"], jnp.float32)
+    # priors ride as a runtime ARG, not a closed-over constant: embedding
+    # the (24k, 4) table as an HLO constant bloats the serialized module
+    # ~8x (3.3MB vs 0.39MB measured), past the remote-compile service's
+    # request-size limit on the tunneled device (HTTP 413)
+    priors_arg = jnp.asarray(priors)
 
-    def step(params, opt_state, images, gt, valid):
+    def step_impl(params, opt_state, priors_in, images, gt, valid):
         x = images.astype(jnp.float32)
         if x.shape[-1] == 1:
             x = jnp.repeat(x, 3, axis=-1)
@@ -136,7 +141,7 @@ def make_detection_train_step(model, priors, tx, use_focal: bool = False):
 
         def loss_fn(p):
             loc, conf = model.apply({"params": p}, x)
-            ll, lc = loss_fn_impl(loc, conf, gt, valid, priors)
+            ll, lc = loss_fn_impl(loc, conf, gt, valid, priors_in)
             return ll + lc, (ll, lc)
 
         (loss, (ll, lc)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
@@ -144,4 +149,9 @@ def make_detection_train_step(model, priors, tx, use_focal: bool = False):
         params = optax.apply_updates(params, updates)
         return params, opt_state, {"loss": loss, "loss_loc": ll, "loss_conf": lc}
 
-    return jax.jit(step, donate_argnums=(0, 1))
+    jitted = jax.jit(step_impl, donate_argnums=(0, 1))
+
+    def step(params, opt_state, images, gt, valid):
+        return jitted(params, opt_state, priors_arg, images, gt, valid)
+
+    return step

@@ -52,7 +52,10 @@ class MathDetector:
                 jax.random.PRNGKey(seed), dummy
             )
         self.variables = variables
-        self._detect = jax.jit(self._detect_impl)
+        # priors as a jit ARG (not closure constant) keeps the serialized
+        # module small enough for the remote-compile size limit
+        jitted = jax.jit(self._detect_impl)
+        self._detect = lambda v, x: jitted(v, x, self.priors)
 
     def _preprocess(self, windows: np.ndarray) -> np.ndarray:
         """uint8 (N, 512, 512, C) -> float32 mean-subtracted 3-channel."""
@@ -61,10 +64,10 @@ class MathDetector:
             x = np.repeat(x, 3, axis=-1)
         return x - np.asarray(MATH_GTDB_512["mean_pixel"], np.float32)
 
-    def _detect_impl(self, variables, x):
+    def _detect_impl(self, variables, x, priors):
         loc, conf = self.model.apply(variables, x)
         return batched_detect(
-            loc, conf, self.priors,
+            loc, conf, priors,
             conf_thresh=self.conf_thresh, iou_thresh=self.iou_thresh,
         )
 

@@ -98,11 +98,13 @@ def main() -> None:
     B = args.batch
 
     @jax.jit
-    def pool_step(params, opt_state, key):
+    def pool_step(params, opt_state, key, imgs_p, gts_p, valid_p):
+        # pools ride as ARGS: closing over the 805MB device arrays embeds
+        # them as constants in the traced module (remote-compile 413)
         key, sub = jax.random.split(key)
         idx = jax.random.randint(sub, (B,), 0, N_POOL)
         p, o, metrics = step(
-            params, opt_state, imgs_d[idx], gts_d[idx], valid_d[idx]
+            params, opt_state, imgs_p[idx], gts_p[idx], valid_p[idx]
         )
         return p, o, key, metrics["loss"]
 
@@ -110,7 +112,9 @@ def main() -> None:
     t0 = time.time()
     first_loss = None
     for it in range(1, args.steps + 1):
-        params, opt_state, key, loss = pool_step(params, opt_state, key)
+        params, opt_state, key, loss = pool_step(
+            params, opt_state, key, imgs_d, gts_d, valid_d
+        )
         if it in (1, 10) or it % 100 == 0:
             lv = float(loss)
             first_loss = first_loss if first_loss is not None else lv
@@ -120,11 +124,12 @@ def main() -> None:
     print(f"loss: {first_loss:.3f} -> {final_loss:.3f}", flush=True)
 
     # held-out eval: detect -> stitch -> CROHME scores
-    detect = jax.jit(
-        lambda v, x: batched_detect(
-            *model.apply(v, x)[:2], priors, conf_thresh=0.3, iou_thresh=0.3
+    detect_j = jax.jit(
+        lambda v, x, pr: batched_detect(
+            *model.apply(v, x)[:2], pr, conf_thresh=0.3, iou_thresh=0.3
         )
     )
+    detect = lambda v, x: detect_j(v, x, priors)
     preds, truths = [], []
     eval_rng = np.random.default_rng(99)
     for _ in range(args.n_eval):
