@@ -30,40 +30,49 @@ trunc_init = nn.initializers.truncated_normal(stddev=0.02)
 
 def sincos_2d_posembed(
     embed_dim: int, grid_h: int, grid_w: int, cls_token: bool = True
-) -> np.ndarray:
+) -> jax.Array:
     """Fixed 2D sin-cos positional embedding (reference mae_posembed.py:20-70).
 
     Returns float32 (grid_h*grid_w [+1], embed_dim); the cls row is zeros.
+    Computed in jnp so callers inside traced code get a cheap on-device
+    computation instead of an embedded HLO constant (large tables count
+    against the tunneled remote-compile request-size limit).
     """
     assert embed_dim % 4 == 0
-    gh = np.arange(grid_h, dtype=np.float32)
-    gw = np.arange(grid_w, dtype=np.float32)
-    grid = np.meshgrid(gw, gh)  # w goes first, like the reference
-    grid = np.stack(grid, axis=0).reshape(2, grid_h, grid_w)
+    gh = jnp.arange(grid_h, dtype=jnp.float32)
+    gw = jnp.arange(grid_w, dtype=jnp.float32)
+    grid = jnp.stack(jnp.meshgrid(gw, gh), axis=0)  # w first, like reference
+    grid = grid.reshape(2, grid_h, grid_w)
 
-    def emb_1d(pos: np.ndarray, dim: int) -> np.ndarray:
-        omega = np.arange(dim // 2, dtype=np.float32) / (dim / 2.0)
+    def emb_1d(pos: jax.Array, dim: int) -> jax.Array:
+        omega = jnp.arange(dim // 2, dtype=jnp.float32) / (dim / 2.0)
         omega = 1.0 / 10000**omega
-        out = np.einsum("m,d->md", pos.reshape(-1), omega)
-        return np.concatenate([np.sin(out), np.cos(out)], axis=1)
+        out = pos.reshape(-1)[:, None] * omega[None, :]
+        return jnp.concatenate([jnp.sin(out), jnp.cos(out)], axis=1)
 
     emb_h = emb_1d(grid[0], embed_dim // 2)
     emb_w = emb_1d(grid[1], embed_dim // 2)
-    emb = np.concatenate([emb_h, emb_w], axis=1)
+    emb = jnp.concatenate([emb_h, emb_w], axis=1)
     if cls_token:
-        emb = np.concatenate([np.zeros((1, embed_dim), np.float32), emb], axis=0)
+        emb = jnp.concatenate(
+            [jnp.zeros((1, embed_dim), jnp.float32), emb], axis=0
+        )
     return emb
 
 
-def word_posenc(max_len: int, d_model: int) -> np.ndarray:
-    """Decoder-side 1D sin-cos PE (reference position_encoding.py:7-28)."""
-    pos = np.arange(max_len, dtype=np.float32)[:, None]
-    dim = np.arange(0, d_model, 2, dtype=np.float32)
-    div = np.exp(-np.log(10000.0) * dim / d_model)
-    pe = np.zeros((max_len, d_model), np.float32)
-    pe[:, 0::2] = np.sin(pos * div)
-    pe[:, 1::2] = np.cos(pos * div)
-    return pe
+def word_posenc(max_len: int, d_model: int) -> jax.Array:
+    """Decoder-side 1D sin-cos PE (reference position_encoding.py:7-28).
+
+    jnp-computed for the same remote-compile reason as
+    ``sincos_2d_posembed`` (no embedded table constants)."""
+    pos = jnp.arange(max_len, dtype=jnp.float32)[:, None]
+    dim = jnp.arange(0, d_model, 2, dtype=jnp.float32)
+    div = jnp.exp(-jnp.log(10000.0) * dim / d_model)
+    ang = pos * div
+    # interleave: sin at even columns, cos at odd
+    return jnp.stack([jnp.sin(ang), jnp.cos(ang)], axis=-1).reshape(
+        max_len, d_model
+    )
 
 
 class Mlp(nn.Module):
@@ -198,10 +207,13 @@ def posenc_2d_hw(h: int, w: int, d_model: int) -> np.ndarray:
     half = d_model // 2
     pe_h = word_posenc(h, half)          # (h, half)
     pe_w = word_posenc(w, half)          # (w, half)
-    out = np.zeros((h, w, d_model), np.float32)
-    out[..., :half] = pe_h[:, None, :]
-    out[..., half:] = pe_w[None, :, :]
-    return out
+    return jnp.concatenate(
+        [
+            jnp.broadcast_to(pe_h[:, None, :], (h, w, half)),
+            jnp.broadcast_to(pe_w[None, :, :], (h, w, half)),
+        ],
+        axis=-1,
+    )
 
 
 class Adaptive2DPositionalEncoding(nn.Module):
