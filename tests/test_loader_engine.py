@@ -304,3 +304,44 @@ class TestClahe:
         b = rec_off._preprocess(img)
         assert a.shape == b.shape
         assert not np.array_equal(a, b)
+
+
+class TestDevicePool:
+    """Device-resident sample pools (data/device_pool.py): zero host
+    inputs per step, pools as jit args."""
+
+    def test_pool_training_converges_like_host_fed(self, conv):
+        from doc2tex_tpu.data.device_pool import (
+            build_device_pools,
+            make_pool_step,
+            pool_schedule,
+        )
+        from doc2tex_tpu.models import build_model
+        from doc2tex_tpu.train.trainer import (
+            create_train_state,
+            criterion_from_config,
+            make_train_step,
+        )
+
+        cfg = small_config()
+        images, labels = synth_dataset(64, seed=0, max_len=8, max_h=48)
+        loader = BucketLoader(ArrayDataset(images, labels), conv, cfg, train=True)
+        pools = build_device_pools(loader, conv, cfg, min_samples=1)
+        assert pools and all(p.images.shape[0] == p.n for p in pools)
+        assert all(p.text.dtype == jnp.int32 for p in pools)
+
+        model = build_model(cfg, conv.num_classes)
+        state, tx = create_train_state(model, cfg, jax.random.PRNGKey(0), (4, 32, 32, 1))
+        step = make_train_step(model, criterion_from_config(cfg), tx, cfg)
+        pool_step = make_pool_step(step, cfg["batch_size"])
+        key = jax.random.PRNGKey(3)
+        losses = []
+        sched = pool_schedule(pools, cfg["batch_size"], np.random.default_rng(1))
+        for it, bi in enumerate(sched):
+            p = pools[int(bi)]
+            state, key, loss = pool_step(state, key, p.images, p.text)
+            losses.append(float(loss))
+            if it >= 29:
+                break
+        assert np.isfinite(losses).all()
+        assert np.mean(losses[-5:]) < np.mean(losses[:5])  # learning

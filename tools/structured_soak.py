@@ -131,84 +131,52 @@ def main() -> None:
         save_checkpoint(ckpt, state, {"iter": it, "best_bleu": res["bleu"],
                                       "best_acc": res["accuracy"]})
 
-    # ---- device-resident data pools -------------------------------------
-    # The tunneled device has ~5 MB/s H2D with ~0.4 s per-transfer latency:
-    # per-step batch uploads cap training below 1 step/s.  TPU-native fix:
-    # upload each bucket's full padded sample pool ONCE (one big transfer
-    # per bucket), then sample batches on device inside the jitted step —
-    # zero host inputs per step, fully async dispatch.
+    # device-resident data pools (see doc2tex_tpu/data/device_pool.py for
+    # the why: per-step host transfers cap the tunneled device <1 step/s)
+    from doc2tex_tpu.data.device_pool import (
+        build_device_pools,
+        make_pool_step,
+        pool_schedule,
+    )
+
     t0 = time.time()
-    pools = []  # (name, images_dev (N,H,W,1), text_dev (N,L), n_batches_weight)
-    for bucket, idxs in sorted(loader.clusters.items()):
-        if len(idxs) < cfg["batch_size"]:
-            continue
-        # host geo-augment is skipped in the pooled path (pixels are fixed
-        # on device); the on-device sharpness/brightness augment in the
-        # train step still applies per-step
-        imgs = np.stack([
-            loader._prepare_one(i, bucket, None) for i in idxs
-        ])[..., None]
-        text, _ = conv.encode(
-            [loader._tokens(loader.dataset.label(i)) for i in idxs],
-            cfg["batch_max_length"],
-        )
-        pools.append((
-            bucket,
-            jax.device_put(imgs),
-            jax.device_put(np.asarray(text, np.int32)),
-            len(idxs),
-        ))
-    total_pool = sum(p[3] for p in pools)
-    print(f"device pools: {len(pools)} buckets, {total_pool} samples, "
-          f"{sum(int(p[1].size) for p in pools)/1e6:.0f} MB pixels, "
+    pools = build_device_pools(loader, conv, cfg)
+    print(f"device pools: {len(pools)} buckets, "
+          f"{sum(p.n for p in pools)} samples, "
+          f"{sum(int(p.images.size) for p in pools)/1e6:.0f} MB pixels, "
           f"upload {time.time()-t0:.0f}s", flush=True)
 
-    B = cfg["batch_size"]
-
-    @jax.jit
-    def pool_step(state, key, imgs_pool, text_pool):
-        key, sub, srng = jax.random.split(key, 3)
-        idx = jax.random.randint(sub, (B,), 0, imgs_pool.shape[0])
-        st, metrics = step(state, imgs_pool[idx], text_pool[idx], srng)
-        return st, key, metrics["loss"]
+    pool_step = make_pool_step(step, cfg["batch_size"])
 
     # visible precompile pass (one call per bucket shape -> persistent cache)
     key = jax.random.fold_in(rng, 99)
     t0 = time.time()
-    for i, (bucket, pi, pt, _) in enumerate(pools):
+    for i, p in enumerate(pools):
         tc = time.time()
-        state, key, loss = pool_step(state, key, pi, pt)
+        state, key, loss = pool_step(state, key, p.images, p.text)
         jax.block_until_ready(loss)
-        print(f"precompile {bucket} pool={pi.shape[0]}: {time.time()-tc:.0f}s "
+        print(f"precompile {p.bucket} pool={p.n}: {time.time()-tc:.0f}s "
               f"({i+1}/{len(pools)})", flush=True)
     print(f"precompile done in {time.time()-t0:.0f}s", flush=True)
-
-    # bucket schedule proportional to pool sizes, deterministic shuffle
-    sched_rng = np.random.default_rng(5)
-    schedule = np.concatenate([
-        np.full(max(n // B, 1), bi) for bi, (_, _, _, n) in enumerate(pools)
-    ])
 
     t0 = time.time()
     it = start
     pending = None
-    while it < args.steps:
-        sched_rng.shuffle(schedule)
-        for bi in schedule:
-            _, pi, pt, _ = pools[int(bi)]
-            state, key, loss = pool_step(state, key, pi, pt)
-            pending = loss
-            it += 1
-            if it % 500 == 0:
-                lv = float(pending)  # sync point
-                rate = (it - start) / max(time.time() - t0, 1e-9)
-                print(f"[{it}] loss {lv:.4f} ({rate:.1f} steps/s)", flush=True)
-            if it % 5000 == 0 and it % args.eval_every:
-                save_checkpoint(ckpt, state, {"iter": it})
-            if it % args.eval_every == 0:
-                run_eval(it, t0)
-            if it >= args.steps:
-                break
+    for bi in pool_schedule(pools, cfg["batch_size"], np.random.default_rng(5)):
+        p = pools[int(bi)]
+        state, key, loss = pool_step(state, key, p.images, p.text)
+        pending = loss
+        it += 1
+        if it % 500 == 0:
+            lv = float(pending)  # sync point
+            rate = (it - start) / max(time.time() - t0, 1e-9)
+            print(f"[{it}] loss {lv:.4f} ({rate:.1f} steps/s)", flush=True)
+        if it % 5000 == 0 and it % args.eval_every:
+            save_checkpoint(ckpt, state, {"iter": it})
+        if it % args.eval_every == 0:
+            run_eval(it, t0)
+        if it >= args.steps:
+            break
     if it % args.eval_every:
         run_eval(it, t0)
     print("DONE", flush=True)
