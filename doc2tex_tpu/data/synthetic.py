@@ -127,6 +127,9 @@ _STRUCT_SYMBOLS = [
     if t not in {
         "\\frac", "\\sqrt", "{", "}", "^", "_",
         "\\begin{matrix}", "\\end{matrix}", "\\\\", "&",
+        # emitted only as a balanced pair (delims production) so every
+        # generated label is valid LaTeX under latex/validate.py
+        "\\left(", "\\right)",
     }
 ]
 _WHITE = 255
@@ -176,7 +179,9 @@ class _StructGen:
             return self.sqrt(depth)
         if deep_ok and r < 0.34:
             return self.script(depth)
-        if deep_ok and depth == 0 and r < 0.38 and self.budget >= 10:
+        if deep_ok and r < 0.38:
+            return self.delims(depth)
+        if deep_ok and depth == 0 and r < 0.42 and self.budget >= 10:
             return self.matrix(depth)
         return self._sym()
 
@@ -249,6 +254,15 @@ class _StructGen:
             img[h - sh :, bw + self.s :] = sup
         return img, [*bt, which, "{", *st, "}"]
 
+    def delims(self, depth: int) -> tuple[np.ndarray, list[str]]:
+        """Balanced \\left( ... \\right) pair around a sub-expression."""
+        self.budget -= 2
+        body, bt = self.expr(depth + 1, 3)
+        left = _glyph_img("\\left(", self.s, self.ink)
+        right = _glyph_img("\\right)", self.s, self.ink)
+        img = _hstack([left, body, right], gap=self.s)
+        return img, ["\\left(", *bt, "\\right)"]
+
     def matrix(self, depth: int) -> tuple[np.ndarray, list[str]]:
         rows = int(self.rng.integers(2, 4))
         cols = int(self.rng.integers(2, 4))
@@ -278,6 +292,10 @@ class _StructGen:
                 img[y + (row_h[r] - p.shape[0]) // 2 :, x :][
                     : p.shape[0], : p.shape[1]
                 ] = p
+                if toks[-1] == "\\\\" and t and t[0] == "[":
+                    # "\\ [" would parse as the row break's optional size
+                    # argument (KaTeX cr function); brace the cell
+                    t = ["{", *t, "}"]
                 toks.extend(t)
                 if c < cols - 1:
                     toks.append("&")

@@ -161,3 +161,20 @@ class TestStructuredGrammar:
         for im in imgs:
             assert not (im[-1, :] < 200).any()
             assert not (im[:, -1] < 200).any()
+
+    def test_labels_are_valid_latex(self):
+        # cross-system invariant: every generated structured label passes
+        # the KaTeX-grade validator (incl. strict unknown-command checks)
+        from doc2tex_tpu.data.synthetic import synth_structured_dataset
+        from doc2tex_tpu.latex.validate import validate_formula
+
+        _, labels = synth_structured_dataset(300, seed=17, max_len=40)
+        for lb in labels:
+            assert validate_formula(lb) is None, lb
+
+    def test_left_right_balanced(self):
+        from doc2tex_tpu.data.synthetic import synth_structured_dataset
+
+        _, labels = synth_structured_dataset(300, seed=23, max_len=40)
+        for lb in labels:
+            assert lb.count("\\left(") == lb.count("\\right)"), lb
