@@ -18,7 +18,6 @@ from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from flax import linen as nn
 
 Dtype = Any
@@ -193,13 +192,13 @@ class GatedSum(nn.Module):
         return g * a + (1.0 - g) * b
 
 
-def posenc_1d(max_len: int, d_model: int) -> np.ndarray:
+def posenc_1d(max_len: int, d_model: int) -> jax.Array:
     """1D sin-cos PE over sequence positions (reference
     PositionalEncoding1D, postional_encoding.py:137-168)."""
     return word_posenc(max_len, d_model)
 
 
-def posenc_2d_hw(h: int, w: int, d_model: int) -> np.ndarray:
+def posenc_2d_hw(h: int, w: int, d_model: int) -> jax.Array:
     """h/w-split sin-cos 2D PE (reference PositionalEncoding2D,
     postional_encoding.py:91-134): first half of channels encodes height,
     second half width.  Returns (h, w, d_model) float32."""
