@@ -178,7 +178,17 @@ def main() -> None:
         "bf16 is already the config default — --amp forces it on",
     )
     parser.add_argument("--resizer", action="store_true", default=False)
+    parser.add_argument(
+        "--platform", default=None, choices=["cpu", "tpu", "axon"],
+        help="force a jax platform (env JAX_PLATFORMS may be pinned; "
+        "jax.config.update works post-import)",
+    )
     args = parser.parse_args()
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
 
     from doc2tex_tpu.config import load_config
     from doc2tex_tpu.data.loader import ArrayDataset, LmdbDataset

@@ -35,7 +35,18 @@ def main() -> None:
     parser.add_argument("--amp", action="store_true", default=False)
     parser.add_argument("--accum-grad", action="store_true", default=False)
     parser.add_argument("--compile", action="store_true", default=False)
+    parser.add_argument(
+        "--platform", default=None, choices=["cpu", "tpu", "axon"],
+        help="force a jax platform (the env may pin JAX_PLATFORMS, e.g. "
+        "to a tunneled device; env vars are too late once jax imported — "
+        "this applies jax.config.update post-import)",
+    )
     args = parser.parse_args()
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
 
     from doc2tex_tpu.config import load_config
     from doc2tex_tpu.engine import train

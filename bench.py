@@ -32,7 +32,10 @@ BENCH_H, BENCH_W = 64, 320
 BENCH_MAX_LEN = 150
 BENCH_BEAM = 5
 BATCH = 256
-N_ITERS = 4
+# tunnel noise makes min-of-4 unstable run-to-run (round-2 driver capture
+# came in 11% under the documented best); 1 warmup + median of 8 is what
+# repeat runs actually reproduce (VERDICT r2 weak #1)
+N_ITERS = 8
 FALLBACK_BASELINE_IPS = 0.9476  # reference CPU beam5 (tools/baseline_measured.json)
 
 
@@ -110,6 +113,7 @@ def main() -> None:
 
     from doc2tex_tpu.utils.profiling import trace
 
+    run_once(batch)  # warmup (first post-compile run can still page weights)
     times = []
     with trace(trace_dir):
         for _ in range(N_ITERS):
@@ -119,9 +123,11 @@ def main() -> None:
             times.append(max(time.perf_counter() - t0 - 2 * rtt, 1e-6))
     if trace_dir:
         print(f"profiler trace written to {trace_dir}", file=sys.stderr)
-    dt = min(times)  # min = least tunnel noise
+    dt = float(np.median(times))  # median: robust to tunnel noise spikes
+    print(f"{dt*1000:.1f} ms/batch of {BATCH} "
+          f"(median of {N_ITERS}; min {min(times)*1e3:.1f}, "
+          f"max {max(times)*1e3:.1f})", file=sys.stderr)
     ips = BATCH / dt
-    print(f"{dt*1000:.1f} ms/batch of {BATCH}", file=sys.stderr)
 
     baseline = FALLBACK_BASELINE_IPS
     path = os.path.join(os.path.dirname(__file__), "tools", "baseline_measured.json")
@@ -161,8 +167,21 @@ GATE_MAX_LEN = 500
 V5E_BF16_PEAK = 197e12  # flop/s per v5e chip
 
 
+DEMO_MIX = [
+    # version2 regime (224x960 max dims): crop-size mix a detected page
+    # produces (reference demo crops are mostly line-height, some display)
+    (32, 128, 96, 96),
+    (64, 256, 96, 96),
+    (96, 384, 64, 64),
+    (128, 512, 48, 48),
+    (224, 960, 16, 16),
+]
+
+
 def gate_main() -> None:
     quick = "--quick" in sys.argv
+    hard_vocab_mode = "--hard-vocab" in sys.argv
+    demo_mode = "--demo" in sys.argv
     import jax
     import jax.numpy as jnp
 
@@ -179,13 +198,43 @@ def gate_main() -> None:
     from doc2tex_tpu.tokenizer.converters import AttnLabelConverter
     from doc2tex_tpu.train.trainer import init_model, param_count
 
-    cfg = load_config(os.path.join(os.path.dirname(__file__), "config", "test.yaml"))
-    cfg["character"] = list(SYNTH_VOCAB)
+    if demo_mode:
+        # the shipped demo decode contract (demo/recog_cfg.yaml version2:
+        # beam 10, pad True, 224x960, max_len 200, KaTeX-inventory vocab)
+        from doc2tex_tpu.recognition import load_recog_config
+        from doc2tex_tpu.tokenizer.vocab import load_vocab
+
+        cfg, _weights = load_recog_config(version="version2")
+        cfg["character"] = load_vocab(cfg["vocab"])
+        max_len = 40 if quick else int(cfg["batch_max_length"])
+        mix = DEMO_MIX[:3] if quick else DEMO_MIX
+        workload = (
+            f"demo-config (recog_cfg.yaml version2: beam {cfg['beam_size']}, "
+            f"pad {cfg['pad']}, 224x960, {len(mix)}-bucket mix)"
+        )
+    else:
+        cfg = load_config(
+            os.path.join(os.path.dirname(__file__), "config", "test.yaml")
+        )
+        if hard_vocab_mode:
+            # vocab-size axis (VERDICT r2 weak #3): decode generator matmul
+            # and beam top-k scale with num_classes; run the gate at the
+            # reference's several-hundred-token regime
+            from doc2tex_tpu.data.synthetic import hard_vocab
+
+            cfg["character"] = hard_vocab()
+        else:
+            cfg["character"] = list(SYNTH_VOCAB)
+        max_len = 40 if quick else GATE_MAX_LEN
+        mix = GATE_MIX[:3] if quick else GATE_MIX
+        workload = (
+            "gate-config (test.yaml: 448x960 ladder, "
+            f"beam={cfg['beam_size']}, max_len={max_len}, "
+            f"{len(mix)}-bucket mix)"
+        )
     cfg["vocab"] = ""
     cfg["saved_model"] = ""  # random weights: full-length decode, no early exit
-    max_len = 40 if quick else GATE_MAX_LEN
     cfg["batch_max_length"] = max_len
-    mix = GATE_MIX[:3] if quick else GATE_MIX
 
     conv = AttnLabelConverter(cfg["character"])
     cfg["num_class"] = conv.num_classes
@@ -239,9 +288,11 @@ def gate_main() -> None:
         tokens, _ = decode(variables, batch_d)
         _ = int(tokens[0, 0])
         compile_s = time.perf_counter() - t0
-        compile_count += 2  # encode+decode fused program AND encoder probe
         lowered = enc_jit.lower(variables, batch_d)
-        cost = lowered.compile().cost_analysis()
+        t0 = time.perf_counter()
+        compiled_enc = lowered.compile()
+        enc_compile_s = time.perf_counter() - t0
+        cost = compiled_enc.cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0] if cost else {}
         enc_flops = float(cost.get("flops", 0.0))
@@ -263,6 +314,14 @@ def gate_main() -> None:
         enc_t = max(time.perf_counter() - t0 - rtt, 1e-9)
         mfu = enc_flops / enc_t / V5E_BF16_PEAK
 
+        # measured compile events (ADVICE r2): the first call counts as a
+        # compile only when it did substantial work beyond steady-state
+        # execution; persistent-cache deserialize hits (~1s) don't count
+        if compile_s > 2 * best + 2.0:
+            compile_count += 1
+        if enc_compile_s > 2.0:
+            compile_count += 1
+
         n_batches = -(-n // bs)
         bucket_time = best * n_batches
         total_images += n
@@ -280,24 +339,22 @@ def gate_main() -> None:
     for r in rows:
         print(json.dumps(r), file=sys.stderr)
     result = {
-        "metric": (
-            "gate-config images/sec/chip (test.yaml: 448x960 ladder, "
-            f"beam={cfg['beam_size']}, max_len={max_len}, "
-            f"{len(mix)}-bucket mix)"
-        ),
+        "metric": f"{workload} images/sec/chip",
         "value": round(agg_ips, 3),
         "unit": "images/sec",
         "buckets": len(mix),
+        "num_classes": conv.num_classes,
         "compiled_programs": compile_count,
         "per_bucket": rows,
     }
-    base_path = os.path.join(
-        os.path.dirname(__file__), "tools", "gate_baseline_measured.json"
-    )
-    if os.path.exists(base_path):
-        with open(base_path) as f:
-            base = json.load(f)["images_per_sec"]
-        result["vs_baseline"] = round(agg_ips / base, 2)
+    if not (demo_mode or hard_vocab_mode):
+        base_path = os.path.join(
+            os.path.dirname(__file__), "tools", "gate_baseline_measured.json"
+        )
+        if os.path.exists(base_path):
+            with open(base_path) as f:
+                base = json.load(f)["images_per_sec"]
+            result["vs_baseline"] = round(agg_ips / base, 2)
     print(json.dumps(result))
 
 

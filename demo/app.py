@@ -91,10 +91,13 @@ class App:
         else:
             boxes, scores = self.detector.detect_page(resized)
         crops = self.detector.crop_regions(resized, boxes)
-        crops = [c for c in crops if c.size > 0]
-        if not crops:
+        # filter boxes and crops TOGETHER — dropping only empty crops would
+        # misalign every subsequent (box, latex) pair
+        kept = [(b, c) for b, c in zip(boxes, crops) if c.size > 0]
+        if not kept:
             return []
-        latexes = self.recognizer(crops)
+        boxes = [b for b, _ in kept]
+        latexes = self.recognizer([c for _, c in kept])
         out = []
         for box, latex in zip(boxes, latexes):
             orig_box = tuple(int(round(v / scale)) for v in box)
@@ -105,7 +108,11 @@ class App:
 def _cli() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("image", help="page image (png/jpg)")
-    p.add_argument("--recog_config", default=None)
+    p.add_argument("--recog_config", default=None,
+                   help="recognizer yaml; defaults to demo/recog_cfg.yaml "
+                   "(the shipped decode contract: beam 10, pad True)")
+    p.add_argument("--model_version", default="version2",
+                   help="version block of recog_cfg.yaml to use")
     p.add_argument("--recog_weights", default=None)
     p.add_argument("--no_detect", action="store_true")
     p.add_argument(
@@ -118,9 +125,15 @@ def _cli() -> None:
 
     from PIL import Image
 
-    from doc2tex_tpu.config import load_config
+    from doc2tex_tpu.recognition import load_recog_config
 
-    cfg = load_config(args.recog_config) if args.recog_config else None
+    # reference demo contract (demo/recog_cfg.yaml): common block merged
+    # with the selected version block; flat yamls pass through unchanged
+    cfg, cfg_weights = load_recog_config(
+        args.recog_config, version=args.model_version
+    )
+    if args.recog_weights is None:
+        args.recog_weights = cfg_weights
     if args.image.lower().endswith(".pdf"):
         # PDF page input (reference demo supports pdf2image uploads)
         try:

@@ -83,14 +83,29 @@ class PyLmdbReader:
         }
 
     def _pick_meta(self) -> dict:
-        # page size unknown before parsing: probe common sizes for meta 1
-        m0 = self._parse_meta(0)
-        if m0 is None:
-            raise ValueError("not an LMDB file (bad meta page 0)")
-        m1 = self._parse_meta(m0["psize"])
-        if m1 is not None and m1["txnid"] > m0["txnid"]:
+        # A torn meta-0 with a valid meta-1 is a legitimate LMDB
+        # crash-recovery state (liblmdb opens via the other meta page), so
+        # parse both independently and take the valid one with the larger
+        # txnid.  The page size is unknown until one meta parses; when
+        # meta-0 is bad, probe common page sizes for meta-1.
+        m0 = self._try_meta(0)
+        sizes = [m0["psize"]] if m0 else [4096, 8192, 16384, 32768, 65536]
+        m1 = None
+        for ps in sizes:
+            m1 = self._try_meta(ps)
+            if m1 is not None:
+                break
+        if m0 is None and m1 is None:
+            raise ValueError("not an LMDB file (both meta pages invalid)")
+        if m0 is None or (m1 is not None and m1["txnid"] > m0["txnid"]):
             return m1
         return m0
+
+    def _try_meta(self, off: int) -> Optional[dict]:
+        try:
+            return self._parse_meta(off)
+        except struct.error:
+            return None
 
     # --------------------------------------------------------------- pages
     def _page(self, pgno: int) -> int:

@@ -165,10 +165,17 @@ class _StructGen:
         self.budget = max_tokens
         self.max_depth = max_depth
 
+    # terminal hooks — subclassed by the reference-scale hard mode
+    def _pick_terminal(self) -> str:
+        return _STRUCT_SYMBOLS[int(self.rng.integers(len(_STRUCT_SYMBOLS)))]
+
+    def _render_terminal(self, t: str) -> np.ndarray:
+        return _glyph_img(t, self.s, self.ink)
+
     def _sym(self) -> tuple[np.ndarray, list[str]]:
-        t = _STRUCT_SYMBOLS[int(self.rng.integers(len(_STRUCT_SYMBOLS)))]
+        t = self._pick_terminal()
         self.budget -= 1
-        return _glyph_img(t, self.s, self.ink), [t]
+        return self._render_terminal(t), [t]
 
     def atom(self, depth: int) -> tuple[np.ndarray, list[str]]:
         r = self.rng.random()
@@ -263,9 +270,18 @@ class _StructGen:
         img = _hstack([left, body, right], gap=self.s)
         return img, ["\\left(", *bt, "\\right)"]
 
+    def _pick_env(self) -> str:
+        return "matrix"
+
+    def _matrix_dims(self) -> tuple[int, int]:
+        return int(self.rng.integers(2, 4)), int(self.rng.integers(2, 4))
+
+    def _decorate_env(self, env: str, img: np.ndarray) -> np.ndarray:
+        return img
+
     def matrix(self, depth: int) -> tuple[np.ndarray, list[str]]:
-        rows = int(self.rng.integers(2, 4))
-        cols = int(self.rng.integers(2, 4))
+        env = self._pick_env()
+        rows, cols = self._matrix_dims()
         self.budget -= rows * cols + 2
         cells = [
             [self.expr(depth + 1, 2) for _ in range(cols)]
@@ -283,7 +299,7 @@ class _StructGen:
         h = sum(row_h) + gap * (rows - 1)
         w = sum(col_w) + gap * (cols - 1)
         img = np.full((h, w), _WHITE, np.uint8)
-        toks = ["\\begin{matrix}"]
+        toks = ["\\begin{%s}" % env]
         y = 0
         for r in range(rows):
             x = 0
@@ -303,8 +319,8 @@ class _StructGen:
             if r < rows - 1:
                 toks.append("\\\\")
             y += row_h[r] + gap
-        toks.append("\\end{matrix}")
-        return img, toks
+        toks.append("\\end{%s}" % env)
+        return self._decorate_env(env, img), toks
 
 
 def synth_structured_sample(
@@ -349,6 +365,344 @@ def synth_structured_dataset(
     images, labels = [], []
     for _ in range(n):
         img, label = synth_structured_sample(rng, **kwargs)
+        images.append(img)
+        labels.append(label)
+    return images, labels
+
+
+# ---------------------------------------------------------------------------
+# Reference-scale "hard" mode (round 3, VERDICT r2 item #1)
+#
+# The round-2 structured grammar saturated (held-out beam-5 EM 1.0 by 50k
+# steps) and stopped discriminating.  This mode restores headroom along the
+# axes the reference's real data has and the flat grammar lacked:
+#   - vocabulary at reference scale (~600 tokens drawn from the generated
+#     KaTeX inventory, latex/_katex_tables.py — the same regime as the
+#     reference's UNK-thresholded vocabs, generate_latex_vocab.py),
+#   - >=3 glyph renderings per token ("fonts"): pixels -> token is
+#     one-of-many, like real typefaces,
+#   - per-sample render noise: blur, contrast jitter, salt-and-pepper,
+#     ink thickness (dilate/thin),
+#   - unary commands (\hat{..}, \mathbf{..}) and delimited matrix envs
+#     (pmatrix / bmatrix) for more co-occurrence structure,
+#   - token lengths up to batch_max_length 150 and display layouts that
+#     fill the 224x704 / 448x960 gate buckets (reference data regime:
+#     config/train.yaml:3-6 — 800x800 max dims, max length 150).
+#
+# Every emitted label passes latex/validate.py (strict) and survives
+# normalize_formula token-identically — enforced both by construction
+# (terminals are pipeline-filtered at vocab build) and by property test
+# (tests/test_latex.py).
+
+_HARD_FONTS = 3
+_HARD_ENVS = ("matrix", "pmatrix", "bmatrix")
+# 1-arg accent/style commands, rendered as a deterministic marker strip
+# above the argument so labels stay exactly decodable from pixels
+_HARD_UNARY_CANDIDATES = (
+    "\\hat", "\\bar", "\\tilde", "\\vec", "\\dot", "\\ddot", "\\acute",
+    "\\breve", "\\check", "\\grave", "\\overline", "\\underline",
+    "\\mathbf", "\\mathrm", "\\mathcal", "\\mathbb", "\\mathit",
+    "\\mathsf", "\\mathfrak", "\\boldsymbol",
+)
+
+_hard_cache: dict = {}
+
+
+def _pipeline_keeps(tok: str) -> bool:
+    """True iff ``tok`` survives the full normalize pipeline unchanged in a
+    neutral context AND validates (strict) — the exact property the hard
+    grammar guarantees for whole labels."""
+    from ..latex.normalize import normalize_formula
+
+    # two contexts: mid-expression (token-identity survival) and group-final
+    # (catches arg-taking commands like \not that would greedily swallow a
+    # following token mid-expression but be invalid before a closing brace)
+    for probe in (f"a + {tok} - b = c", f"{{ a {tok} }} + b = c"):
+        try:
+            out = normalize_formula(probe, mode="tokenize", strict=True)
+        except Exception:
+            return False
+        if out is None or out.split() != probe.split():
+            return False
+    return True
+
+
+def hard_terminals() -> list[str]:
+    """~600 atomic tokens from the generated KaTeX inventory (math symbols
+    + zero-arg commands), filtered through the real normalize/validate
+    pipeline.  Deterministic order (sorted)."""
+    if "terminals" in _hard_cache:
+        return _hard_cache["terminals"]
+    from ..latex import _katex_tables as kt
+
+    structural = {
+        "\\frac", "\\sqrt", "{", "}", "^", "_", "\\\\", "&",
+        "\\left(", "\\right)",
+    }
+    cands = set(kt.SYMBOLS_MATH)
+    cands.update(
+        f for f, (na, no, _at, _g) in kt.FUNCTIONS.items()
+        if na == 0 and no == 0
+    )
+    cands -= structural
+    cands.discard("\\,")  # postpass collapses \, runs -> label not stable
+    terms = sorted(
+        t for t in cands
+        # whitespace inside a token (e.g. control-space "\\ ") breaks the
+        # space-joined label round-trip
+        if not any(c.isspace() for c in t) and _pipeline_keeps(t)
+    )
+    _hard_cache["terminals"] = terms
+    return terms
+
+
+def hard_vocab() -> list[str]:
+    """Full hard-mode vocabulary: structural tokens + env delimiters +
+    unary commands + the KaTeX-inventory terminals.  Deterministic."""
+    if "vocab" in _hard_cache:
+        return _hard_cache["vocab"]
+    structural = [
+        "\\frac", "\\sqrt", "{", "}", "^", "_", "\\\\", "&",
+        "\\left(", "\\right)",
+    ]
+    envs = [f"\\begin{{{e}}}" for e in _HARD_ENVS] + [
+        f"\\end{{{e}}}" for e in _HARD_ENVS
+    ]
+    unary = [u for u in _HARD_UNARY_CANDIDATES if _unary_ok(u)]
+    terms = hard_terminals()
+    seen: set[str] = set()
+    vocab: list[str] = []
+    for t in structural + envs + unary + terms:
+        if t not in seen:
+            seen.add(t)
+            vocab.append(t)
+    _hard_cache["vocab"] = vocab
+    return vocab
+
+
+def _unary_ok(cmd: str) -> bool:
+    from ..latex import _katex_tables as kt
+    from ..latex.normalize import normalize_formula
+
+    info = kt.FUNCTIONS.get(cmd)
+    if info is None or info[0] != 1 or info[1] != 0:
+        return False
+    probe = f"a + {cmd} {{ x }} - b = c"
+    try:
+        out = normalize_formula(probe, mode="tokenize", strict=True)
+    except Exception:
+        return False
+    return out is not None and out.split() == probe.split()
+
+
+def hard_unary() -> list[str]:
+    return [u for u in hard_vocab() if u in _HARD_UNARY_CANDIDATES]
+
+
+_HARD_GLYPH_CACHE: dict[tuple[int, int], np.ndarray] = {}
+
+
+def _hard_glyph(term_idx: int, font: int) -> np.ndarray:
+    """Deterministic binary glyph for terminal #term_idx in font #font.
+    Distinct fonts are unrelated patterns: pixels -> token is one-of-many,
+    as with real typefaces."""
+    g = _HARD_GLYPH_CACHE.get((term_idx, font))
+    if g is None:
+        rng = np.random.default_rng([7000 + term_idx, 31 + font])
+        g = (rng.random((_GLYPH_H, _GLYPH_W)) < 0.45).astype(np.uint8)
+        g[0, :] = 1  # top bar anchors vertical alignment
+        _HARD_GLYPH_CACHE[(term_idx, font)] = g
+    return g
+
+
+_UNARY_MARK_CACHE: dict[int, np.ndarray] = {}
+
+
+def _unary_mark(unary_idx: int) -> np.ndarray:
+    """4x10 deterministic marker identifying a unary command (drawn above
+    its argument, like an accent)."""
+    m = _UNARY_MARK_CACHE.get(unary_idx)
+    if m is None:
+        rng = np.random.default_rng([91000 + unary_idx])
+        m = (rng.random((4, 10)) < 0.55).astype(np.uint8)
+        m[-1, :] = 1
+        _UNARY_MARK_CACHE[unary_idx] = m
+    return m
+
+
+def _filter3(img: np.ndarray, op) -> np.ndarray:
+    """3x3 neighborhood min/max/mean via shifted stacks (no scipy here)."""
+    p = np.pad(img, 1, mode="edge")
+    h, w = img.shape
+    stack = np.stack(
+        [p[dy : dy + h, dx : dx + w] for dy in range(3) for dx in range(3)]
+    )
+    return op(stack, axis=0)
+
+
+def apply_render_noise(
+    img: np.ndarray, rng: np.random.Generator,
+    level: float = 1.0, scale: int = 3,
+) -> np.ndarray:
+    """Per-sample render noise: ink thickness, blur, contrast jitter,
+    salt-and-pepper.  ``scale`` gates thinning (a 3x3 max filter would
+    erase 2x2 ink blocks entirely at glyph scale 2)."""
+    if level <= 0:
+        return img
+    out = img.astype(np.float32)
+    r = rng.random()
+    if r < 0.35 * level:
+        out = _filter3(out, np.min)  # thicken ink (dark = low values)
+    elif r < 0.55 * level and scale >= 3:
+        out = _filter3(out, np.max)  # thin ink
+    if rng.random() < 0.5 * level:
+        out = _filter3(out, np.mean)  # box blur
+    alpha = 1.0 + (rng.random() - 0.5) * 0.3 * level
+    beta = (rng.random() - 0.5) * 60 * level
+    out = out * alpha + beta
+    frac = rng.random() * 0.01 * level
+    n_px = int(frac * out.size)
+    if n_px:
+        ys = rng.integers(0, out.shape[0], n_px)
+        xs = rng.integers(0, out.shape[1], n_px)
+        out[ys, xs] = rng.integers(0, 2, n_px) * 255.0
+    return np.clip(out, 0, 255).astype(np.uint8)
+
+
+class _HardGen(_StructGen):
+    """Reference-scale grammar: KaTeX-inventory terminals in >=3 fonts,
+    unary commands, delimited matrix envs, display-scale layouts."""
+
+    def __init__(self, rng, scale, ink, max_tokens, max_depth=3,
+                 fonts=_HARD_FONTS):
+        super().__init__(rng, scale, ink, max_tokens, max_depth)
+        self.terms = hard_terminals()
+        self.unary = hard_unary()
+        self.fonts = fonts
+
+    def _pick_terminal(self) -> str:
+        return self.terms[int(self.rng.integers(len(self.terms)))]
+
+    def _render_terminal(self, t: str) -> np.ndarray:
+        font = int(self.rng.integers(self.fonts))
+        g = _hard_glyph(self.terms.index(t), font)
+        g = np.kron(g, np.ones((self.s, self.s), np.uint8))
+        img = np.full(g.shape, _WHITE, np.uint8)
+        img[g > 0] = self.ink
+        return img
+
+    def _pick_env(self) -> str:
+        return _HARD_ENVS[int(self.rng.integers(len(_HARD_ENVS)))]
+
+    def _matrix_dims(self) -> tuple[int, int]:
+        # display-scale grids when the budget allows (fills gate buckets)
+        if self.budget >= 60:
+            return (int(self.rng.integers(3, 7)), int(self.rng.integers(2, 6)))
+        return (int(self.rng.integers(2, 4)), int(self.rng.integers(2, 4)))
+
+    def _decorate_env(self, env: str, img: np.ndarray) -> np.ndarray:
+        if env == "matrix":
+            return img
+        h = img.shape[0]
+        bar = max(self.s // 2, 2)
+        dw = 2 * self.s
+        out = np.full((h, img.shape[1] + 2 * (dw + self.s)), _WHITE, np.uint8)
+        out[:, dw + self.s : dw + self.s + img.shape[1]] = img
+        # vertical strokes; bmatrix adds square-bracket ticks
+        out[:, :bar] = self.ink
+        out[:, -bar:] = self.ink
+        if env == "bmatrix":
+            out[:bar, :dw] = self.ink
+            out[-bar:, :dw] = self.ink
+            out[:bar, -dw:] = self.ink
+            out[-bar:, -dw:] = self.ink
+        return out
+
+    def unary_atom(self, depth: int) -> tuple[np.ndarray, list[str]]:
+        u_idx = int(self.rng.integers(len(self.unary)))
+        u = self.unary[u_idx]
+        self.budget -= 3  # cmd { }
+        body, bt = self.expr(depth + 1, 2)
+        mark = np.kron(_unary_mark(u_idx), np.ones((self.s, self.s), np.uint8))
+        mark_img = np.full(mark.shape, _WHITE, np.uint8)
+        mark_img[mark > 0] = self.ink
+        w = max(body.shape[1], mark_img.shape[1])
+        h = body.shape[0] + mark_img.shape[0] + self.s
+        img = np.full((h, w), _WHITE, np.uint8)
+        xm = (w - mark_img.shape[1]) // 2
+        img[: mark_img.shape[0], xm : xm + mark_img.shape[1]] = mark_img
+        xb = (w - body.shape[1]) // 2
+        img[mark_img.shape[0] + self.s :, xb : xb + body.shape[1]] = body
+        return img, [u, "{", *bt, "}"]
+
+    def atom(self, depth: int) -> tuple[np.ndarray, list[str]]:
+        r = self.rng.random()
+        deep_ok = depth < self.max_depth and self.budget >= 6
+        if deep_ok and r < 0.10:
+            return self.frac(depth)
+        if deep_ok and r < 0.15:
+            return self.sqrt(depth)
+        if deep_ok and r < 0.21 and self.unary:
+            return self.unary_atom(depth)
+        if deep_ok and r < 0.35:
+            return self.script(depth)
+        if deep_ok and r < 0.39:
+            return self.delims(depth)
+        if deep_ok and depth == 0 and r < 0.46 and self.budget >= 10:
+            return self.matrix(depth)
+        return self._sym()
+
+
+def synth_hard_sample(
+    rng: np.random.Generator,
+    min_len: int = 8,
+    max_len: int = 150,
+    max_h: int = 448,
+    max_w: int = 960,
+    noise: float = 1.0,
+    fonts: int = _HARD_FONTS,
+) -> tuple[np.ndarray, str]:
+    """One reference-scale (image, label) pair.  Same decodable-label
+    contract as synth_structured_sample (oversized renders regenerate with
+    a halved budget; never clipped)."""
+    budget = int(rng.integers(min_len, max_len + 1))
+    for _ in range(12):
+        scale = int(rng.integers(2, 4))
+        ink = int(rng.integers(0, 60))
+        gen = _HardGen(rng, scale, ink, max_tokens=budget, fonts=fonts)
+        img, toks = gen.expr(0, max_atoms=max(min(budget // 2, 14), 3))
+        pad = int(rng.integers(2, 8))
+        img = np.pad(img, pad, constant_values=_WHITE)
+        fits = img.shape[0] <= max_h and img.shape[1] <= max_w
+        if fits and min_len <= len(toks) <= max_len:
+            break
+        if not fits or len(toks) > max_len:
+            budget = max(budget // 2, min_len)
+        # too short: just resample (structural atoms emit several tokens,
+        # so a small-n draw can undershoot min_len)
+    else:  # guaranteed-valid fallback: exactly min_len plain symbols
+        scale = 2
+        gen = _HardGen(rng, 2, 0, max_tokens=min_len + 1, max_depth=0,
+                       fonts=fonts)
+        parts = [gen._sym() for _ in range(min_len)]
+        img = _hstack([p for p, _ in parts], gap=2)
+        toks = [t for _, ts in parts for t in ts]
+        img = np.pad(img, 4, constant_values=_WHITE)
+    img = apply_render_noise(img, rng, level=noise, scale=scale)
+    h = max(img.shape[0], 24)
+    w = max(img.shape[1], 32)
+    canvas = np.full((h, w), int(img.max()) if img.size else _WHITE, np.uint8)
+    canvas[: img.shape[0], : img.shape[1]] = img
+    return canvas, " ".join(toks)
+
+
+def synth_hard_dataset(
+    n: int, seed: int = 0, **kwargs
+) -> tuple[list[np.ndarray], list[str]]:
+    rng = np.random.default_rng(seed)
+    images, labels = [], []
+    for _ in range(n):
+        img, label = synth_hard_sample(rng, **kwargs)
         images.append(img)
         labels.append(label)
     return images, labels

@@ -79,10 +79,10 @@ class MathDetector:
     ) -> tuple[np.ndarray, np.ndarray]:
         """Full pipeline: returns (boxes (K, 4) page pixels, scores (K,)).
 
-        ``raw=True`` returns every unmapped windowed detection without
-        page-level NMS or its top-200 cap — the input the voting stitch
-        wants (stitch.py dedups by voting, so truncation would silently
-        drop low-score regions)."""
+        ``raw=True`` skips only the page-level NMS and its top-200 cap
+        (per-window conf_thresh/NMS/top-k inside ``_detect`` still apply)
+        — the input the voting stitch wants (stitch.py dedups by voting,
+        so page-level truncation would silently drop low-score regions)."""
         windows, info = rolling_windows(page, self.stride, self.window)
         all_boxes, all_scores = [], []
         B = self.batch_size

@@ -184,7 +184,27 @@ def train(config, log_dir: str = "saved_models/run") -> dict:
     # re-trace one decode program per bucket shape each valInterval)
     from ..decode.runner import make_decode_fn
 
-    val_decode_fn = make_decode_fn(b.model, config, beam_size=1, mesh=None)
+    # validation decode rides the active mesh when one is up (batch sharded
+    # over the data axis; config val_use_mesh=False opts out, e.g. when the
+    # eval set is smaller than the data axis)
+    val_mesh = mesh if config.get("val_use_mesh", True) else None
+    _base_decode = make_decode_fn(b.model, config, beam_size=1, mesh=val_mesh)
+    if val_mesh is None:
+        val_decode_fn = _base_decode
+    else:
+        def val_decode_fn(variables, images):
+            # ragged eval tails: pad to the data-axis multiple with white
+            # images, trim the outputs back
+            nb = images.shape[0]
+            rem = nb % n_data
+            if rem:
+                images = jnp.pad(
+                    jnp.asarray(images),
+                    ((0, n_data - rem), (0, 0), (0, 0), (0, 0)),
+                    constant_values=255,
+                )
+            toks, aux = _base_decode(variables, images)
+            return toks[:nb], aux[:nb]
 
     best_val_step = 0
     last_metrics: dict = {}

@@ -67,6 +67,26 @@ def current_activation_mesh() -> Optional[Mesh]:
     return _ACTIVATION_MESH[-1] if _ACTIVATION_MESH else None
 
 
+_DROP_WARNED: set = set()
+
+
+def _warn_dropped_axes(spec, fixed, shape) -> None:
+    """One-time (per spec/shape) diagnostic when a requested mesh axis is
+    dropped because the dim isn't divisible — otherwise a TP boundary can
+    quietly become replicated with no signal to the user."""
+    key = (spec, fixed, tuple(shape))
+    if key in _DROP_WARNED:
+        return
+    _DROP_WARNED.add(key)
+    import logging
+
+    logging.getLogger(__name__).warning(
+        "shard_activation: dropped mesh axes %s for array shape %s "
+        "(dim not divisible by mesh axis size); using %s",
+        [a for a, b in zip(spec, fixed) if a != b], tuple(shape), fixed,
+    )
+
+
 def shard_activation(x: jax.Array, spec: Sequence[Optional[str]]) -> jax.Array:
     """Constrain an activation to ``spec`` over the active mesh (no-op when
     none).  Axis names in ``spec`` that the array dim doesn't divide are
@@ -78,6 +98,8 @@ def shard_activation(x: jax.Array, spec: Sequence[Optional[str]]) -> jax.Array:
         a if (a is None or x.shape[i] % mesh.shape[a] == 0) else None
         for i, a in enumerate(spec)
     )
+    if fixed != tuple(spec):
+        _warn_dropped_axes(tuple(spec), fixed, x.shape)
     from jax.sharding import NamedSharding, PartitionSpec
 
     return jax.lax.with_sharding_constraint(

@@ -1,3 +1,3 @@
-from .flow import MathRecognition
+from .flow import MathRecognition, load_recog_config
 
-__all__ = ["MathRecognition"]
+__all__ = ["MathRecognition", "load_recog_config"]

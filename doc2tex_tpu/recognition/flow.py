@@ -43,6 +43,56 @@ def postprocess_prediction(s: str) -> str:
     return s
 
 
+DEFAULT_RECOG_CFG = "demo/recog_cfg.yaml"
+
+
+def load_recog_config(
+    path: Optional[str] = None, version: str = "version2"
+) -> tuple[dict, Optional[str]]:
+    """Load the demo recognizer config contract: ``(config, weights_path)``.
+
+    Parity: reference ``demo/recog_cfg.yaml:1-59`` — a ``common`` block
+    (arch + decode contract: beam 10, pad True) merged with a per-release
+    ``versionN`` block (size regime, vocab, weights).  A flat yaml (no
+    ``common`` key) is passed through unchanged.  Relative vocab/weight
+    paths resolve against the repo root; a missing weights file degrades
+    to random init with a warning (we ship vocabs in-repo but, like the
+    reference repo, no trained weights).
+    """
+    import logging
+    import os
+
+    import yaml
+
+    root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    if path is None:
+        path = os.path.join(root, DEFAULT_RECOG_CFG)
+    with open(path) as f:
+        raw = yaml.safe_load(f)
+    if "common" not in raw:
+        return make_config(raw), raw.get("weight_path")
+    if version not in raw:
+        raise KeyError(
+            f"unknown model version {version!r}; have "
+            f"{sorted(k for k in raw if k != 'common')}"
+        )
+    merged = dict(raw["common"])
+    merged.update(raw[version])
+    vocab = merged.get("vocab")
+    if vocab and not os.path.isabs(vocab):
+        merged["vocab"] = os.path.join(root, vocab)
+    weights = merged.pop("weight_path", None)
+    if weights and not os.path.isabs(weights):
+        weights = os.path.join(root, weights)
+    if weights and not os.path.exists(weights):
+        logging.getLogger(__name__).warning(
+            "recog weights %s not found; using random init", weights
+        )
+        weights = None
+    return make_config(merged), weights
+
+
 class MathRecognition:
     """Crop images -> LaTeX strings."""
 

@@ -120,6 +120,39 @@ class TestTensorParallelTraining:
         # reduction order
         assert abs(m_tp["loss"] - m_dp["loss"]) < 5e-2 * max(1.0, m_dp["loss"])
 
+    def test_cross_mesh_checkpoint_restore(self, tmp_path):
+        """The v5e-8 deployment motion (VERDICT r2 item #7b): a checkpoint
+        saved under {data:8} resumes under {data:4, model:2} and back —
+        save gathers to host arrays, resume re-shards onto the new mesh."""
+        import os
+
+        from doc2tex_tpu.engine import train
+        from tests.test_loader_engine import small_config
+
+        def run(tag, mesh_shape, num_iter, resume=None):
+            cfg = small_config(
+                batch_size=8, num_iter=num_iter, valInterval=6,
+                logInterval=6, mesh_shape=mesh_shape, tp_min_size=2**10,
+            )
+            if resume:
+                cfg["resume_path"] = resume
+            return train(cfg, str(tmp_path / tag))
+
+        m_a = run("a", {"data": 8, "model": 1}, 6)
+        ckpt_a = str(tmp_path / "a" / "last_checkpoint.msgpack")
+        assert os.path.exists(ckpt_a)
+
+        m_b = run("b", {"data": 4, "model": 2}, 12, resume=ckpt_a)
+        assert np.isfinite(m_b["loss"])
+        # resumed from the trained state, not re-initialized: the loss
+        # keeps (roughly) improving rather than jumping back to scratch
+        assert m_b["loss"] <= m_a["loss"] * 1.3 + 1e-3
+
+        ckpt_b = str(tmp_path / "b" / "last_checkpoint.msgpack")
+        m_c = run("c", {"data": 8, "model": 1}, 18, resume=ckpt_b)
+        assert np.isfinite(m_c["loss"])
+        assert m_c["loss"] <= m_b["loss"] * 1.3 + 1e-3
+
     def test_activation_constraint_applies(self):
         from doc2tex_tpu.parallel.mesh import (
             activation_mesh,

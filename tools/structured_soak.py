@@ -44,7 +44,7 @@ CURVE_PATH = os.path.join(
 )
 
 
-def build(steps: int):
+def build(steps: int, hard: bool = False, attn: str = "coverage"):
     try:  # persistent compile cache: restarts skip the ~2-4 min/bucket
         import jax as _jax  # remote grad compiles (measured 90s at 64x64)
 
@@ -53,8 +53,12 @@ def build(steps: int):
     except Exception:
         pass
     cfg = make_config(dict(
-        max_dimension=[160, 448], min_dimension=[32, 32],
-        batch_max_length=48, batch_size=48, augment=True,
+        # hard mode (round 3): reference-scale regime — KaTeX-inventory
+        # vocab, 3 fonts, render noise, len<=150, display-size canvases
+        max_dimension=[224, 704] if hard else [160, 448],
+        min_dimension=[32, 32],
+        batch_max_length=150 if hard else 48,
+        batch_size=32 if hard else 48, augment=True,
         keep_smaller_batches=False,  # ragged tails would double the compiles
         bucket_growth=2.2,  # 1-CPU box: keep the compile count ~a dozen
         FeatureExtraction={"name": "None"},
@@ -67,7 +71,7 @@ def build(steps: int):
         Prediction={"name": "Attnv2", "params": {
             "seqmodel": "TFM", "input_size": 128, "hidden_size": 128,
             "kernel_size": 2, "kernel_dim": 64, "embed_target": True,
-            "enc_init": True, "attn_type": "coverage", "droprate": 0.1}},
+            "enc_init": True, "attn_type": attn, "droprate": 0.1}},
         criterion={"name": "entropy"},
         optimizer={"opt": "adamw", "lr": 0.001, "weight_decay": 0.000002},
         num_iter=steps, valInterval=25000,
@@ -83,13 +87,36 @@ def main() -> None:
     ap.add_argument("--n_eval", type=int, default=256)
     ap.add_argument("--eval_every", type=int, default=25000)
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--hard", action="store_true",
+                    help="reference-scale benchmark (round 3): ~650-token "
+                    "KaTeX-inventory vocab, 3 fonts/token, render noise, "
+                    "len<=150, display-size canvases")
+    ap.add_argument("--attn", default="coverage",
+                    choices=["coverage", "loc_aware", "bahdanau"],
+                    help="decoder attention variant (A/B arm)")
     args = ap.parse_args()
 
-    cfg = build(args.steps)
-    kw = {"min_len": 4, "max_len": 44, "max_h": 156, "max_w": 440}
-    tr_images, tr_labels = synth_structured_dataset(args.n_train, seed=31, **kw)
-    ev_images, ev_labels = synth_structured_dataset(args.n_eval, seed=32, **kw)
-    conv = AttnLabelConverter(SYNTH_VOCAB)
+    global CKPT_DIR, CURVE_PATH
+    tag = ""
+    if args.hard:
+        tag = "hard" + ("" if args.attn == "coverage" else "_" + args.attn)
+        CKPT_DIR = f"/tmp/{tag}_soak"
+        CURVE_PATH = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), f"{tag}_curve.jsonl"
+        )
+
+    cfg = build(args.steps, hard=args.hard, attn=args.attn)
+    if args.hard:
+        from doc2tex_tpu.data.synthetic import hard_vocab, synth_hard_dataset
+
+        kw = {"min_len": 8, "max_len": 150, "max_h": 220, "max_w": 696}
+        gen, vocab = synth_hard_dataset, hard_vocab()
+    else:
+        kw = {"min_len": 4, "max_len": 44, "max_h": 156, "max_w": 440}
+        gen, vocab = synth_structured_dataset, SYNTH_VOCAB
+    tr_images, tr_labels = gen(args.n_train, seed=31, **kw)
+    ev_images, ev_labels = gen(args.n_eval, seed=32, **kw)
+    conv = AttnLabelConverter(vocab)
     loader = BucketLoader(ArrayDataset(tr_images, tr_labels), conv, cfg, train=True)
     print(f"train {loader.num_samples} samples / {len(loader.table)} buckets; "
           f"vocab {conv.num_classes}", flush=True)
