@@ -42,6 +42,14 @@ def schedule_from_config(config):
     steps_per_epoch = config["valInterval"]
     accum = config.get("accum_grad", 1)
     total_epochs = (config["num_iter"] // accum) // config["valInterval"]
+    # degenerate-horizon guard: num_iter < valInterval would give
+    # total_epochs 0 — the clamped epoch then never leaves 0 and the LR is
+    # pinned to ZERO for the whole run (a silent no-train; bit the round-3
+    # hard-soak pilot).  Hold at least one epoch and never let warmup
+    # consume the entire horizon.
+    total_epochs = max(total_epochs, 1)
+    warmup = min(float(config["warmup_epochs"]), 0.9 * total_epochs)
+    config = dict(config, warmup_epochs=warmup)
     return warmup_cosine_schedule(
         base_lr=config["optimizer"]["lr"],
         min_lr=config["min_lr"],

@@ -34,6 +34,22 @@ class TestScheduleParity:
         past = float(sched(jnp.asarray(100 * 60 * 3)))  # 3x the horizon
         assert abs(past - 1e-5) < 1e-9  # held at min_lr, no re-rise
 
+    def test_short_run_lr_never_pinned_to_zero(self):
+        # regression (round-3 hard-soak pilot): num_iter < valInterval gave
+        # total_epochs 0 -> clamped epoch stuck at 0 -> LR 0 for the whole
+        # run, a silent no-train
+        from doc2tex_tpu.train.schedule import schedule_from_config
+
+        cfg = {
+            "valInterval": 25000, "num_iter": 20000, "warmup_epochs": 1,
+            "min_lr": 1e-4, "optimizer": {"lr": 1e-3},
+        }
+        sched = schedule_from_config(cfg)
+        lrs = [float(sched(jnp.asarray(s))) for s in (100, 5000, 19999)]
+        assert all(lr > 1e-6 for lr in lrs), lrs
+        # and the LR actually rises through the (capped) warmup
+        assert lrs[1] > lrs[0]
+
 
 class TestTransforms:
     def test_train_augment_shapes_and_range(self):

@@ -44,17 +44,65 @@ def main() -> None:
     rng = np.random.default_rng(0)
     pages = [synth_gtdb_page(rng) for _ in range(args_cli.pages)]
 
+    sys.path.insert(0, os.path.join(REFERENCE, "demo", "ScanSSD"))
     sys.path.insert(0, os.path.join(REFERENCE, "demo"))
     sys.path.insert(0, REFERENCE)
     import torch
 
     torch.set_num_threads(os.cpu_count() or 8)
 
+    # torchvision is absent in this container (the reference demo itself
+    # cannot import here); stub the two pieces ScanSSD touches — an empty
+    # ``transforms`` (only imported, never used on this path) and a
+    # faithful ``ops.nms`` (sort by score, suppress IoU > thresh)
+    import types
+
+    def _nms(boxes: "torch.Tensor", scores: "torch.Tensor", iou: float):
+        order = scores.argsort(descending=True)
+        keep = []
+        while order.numel() > 0:
+            i = order[0]
+            keep.append(i.item())
+            if order.numel() == 1:
+                break
+            rest = boxes[order[1:]]
+            b = boxes[i]
+            x1 = torch.maximum(rest[:, 0], b[0])
+            y1 = torch.maximum(rest[:, 1], b[1])
+            x2 = torch.minimum(rest[:, 2], b[2])
+            y2 = torch.minimum(rest[:, 3], b[3])
+            inter = (x2 - x1).clamp(min=0) * (y2 - y1).clamp(min=0)
+            area_b = (b[2] - b[0]).clamp(min=0) * (b[3] - b[1]).clamp(min=0)
+            area_r = (rest[:, 2] - rest[:, 0]).clamp(min=0) * (
+                rest[:, 3] - rest[:, 1]
+            ).clamp(min=0)
+            iou_v = inter / (area_b + area_r - inter + 1e-12)
+            order = order[1:][iou_v <= iou]
+        return torch.tensor(keep, dtype=torch.long)
+
+    tv = types.ModuleType("torchvision")
+    tv.transforms = types.ModuleType("torchvision.transforms")
+    tv_ops = types.ModuleType("torchvision.ops")
+    tv_ops.nms = _nms
+    tv.ops = tv_ops
+    sys.modules.setdefault("torchvision", tv)
+    sys.modules.setdefault("torchvision.transforms", tv.transforms)
+    sys.modules.setdefault("torchvision.ops", tv_ops)
+
     # ---- detection: the demo's ScanSSD setup with random weights
     from ScanSSD import detect_flow
     from ScanSSD.data import config as ssd_config
     from ScanSSD.ssd import build_ssd
-    from utils.p2l_utils import get_rolling_crops, postprocess
+
+    # demo/utils is shadowed by ScanSSD/utils on sys.path: load by file
+    import importlib.util
+
+    _spec = importlib.util.spec_from_file_location(
+        "p2l_utils", os.path.join(REFERENCE, "demo", "utils", "p2l_utils.py")
+    )
+    _p2l = importlib.util.module_from_spec(_spec)
+    _spec.loader.exec_module(_p2l)
+    get_rolling_crops, postprocess = _p2l.get_rolling_crops, _p2l.postprocess
 
     class DetectCfg:  # mirrors reference demo/app.py:23-41
         cuda = False
@@ -84,7 +132,7 @@ def main() -> None:
     det._args = cfg_obj
     det._net = net
 
-    from torchvision.ops import nms
+    nms = _nms
 
     @torch.inference_mode()
     def detect_page(page_gray: np.ndarray):

@@ -74,7 +74,10 @@ def build(steps: int, hard: bool = False, attn: str = "coverage"):
             "enc_init": True, "attn_type": attn, "droprate": 0.1}},
         criterion={"name": "entropy"},
         optimizer={"opt": "adamw", "lr": 0.001, "weight_decay": 0.000002},
-        num_iter=steps, valInterval=25000,
+        # schedule epochs derive from valInterval; keep it below the run
+        # horizon so short pilots get a real warmup+cosine (schedule.py
+        # guards the degenerate case too)
+        num_iter=steps, valInterval=min(25000, max(steps // 4, 500)),
         warmup_epochs=1, min_lr=0.0001, beam_size=5,
     ))
     return cfg
