@@ -30,6 +30,45 @@ def small_recog_config():
     return small_config()
 
 
+class TestRecogConfigContract:
+    """Shipped demo decode contract (demo/recog_cfg.yaml, round 3).
+    Match: reference demo/recog_cfg.yaml:1-59 + demo/app.py:151-158
+    (common block merged with the selected version block)."""
+
+    def test_version_blocks_merge(self):
+        from doc2tex_tpu.recognition import load_recog_config
+
+        for version, dims, max_len in (
+            ("version1", [800, 800], 500),
+            ("version2", [224, 960], 200),
+        ):
+            cfg, weights = load_recog_config(version=version)
+            assert cfg["max_dimension"] == dims
+            assert cfg["batch_max_length"] == max_len
+            # the demo decode contract: beam 10, pad True
+            assert int(cfg["beam_size"]) == 10
+            assert cfg["pad"] is True
+            assert weights is None  # no trained weights in-repo -> warned
+            assert os.path.exists(cfg["vocab"])
+
+    def test_vocab_reference_scale(self):
+        from doc2tex_tpu.recognition import load_recog_config
+        from doc2tex_tpu.tokenizer.vocab import load_vocab
+
+        cfg, _ = load_recog_config(version="version2")
+        vocab = load_vocab(cfg["vocab"])
+        assert len(vocab) >= 500
+        assert len(set(vocab)) == len(vocab)
+
+    def test_unknown_version_raises(self):
+        import pytest as _pytest
+
+        from doc2tex_tpu.recognition import load_recog_config
+
+        with _pytest.raises(KeyError):
+            load_recog_config(version="version99")
+
+
 class TestAppNoDetect:
     def test_whole_page_recognition(self):
         App = load_demo_app().App

@@ -58,7 +58,10 @@ def build(steps: int, hard: bool = False, attn: str = "coverage"):
         max_dimension=[224, 704] if hard else [160, 448],
         min_dimension=[32, 32],
         batch_max_length=150 if hard else 48,
-        batch_size=32 if hard else 48, augment=True,
+        batch_size=32 if hard else 48,
+        # hard mode carries its own render noise; stacking the geometric
+        # train augment on top pushed the task past the model's capacity
+        augment=not hard,
         keep_smaller_batches=False,  # ragged tails would double the compiles
         bucket_growth=2.2,  # 1-CPU box: keep the compile count ~a dozen
         FeatureExtraction={"name": "None"},
