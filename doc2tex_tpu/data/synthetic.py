@@ -679,13 +679,17 @@ def synth_hard_sample(
     max_w: int = 960,
     noise: float = 1.0,
     fonts: int = _HARD_FONTS,
+    scale_range: tuple[int, int] = (2, 4),
 ) -> tuple[np.ndarray, str]:
     """One reference-scale (image, label) pair.  Same decodable-label
     contract as synth_structured_sample (oversized renders regenerate with
-    a halved budget; never clipped)."""
+    a halved budget; never clipped).  ``scale_range``: half-open glyph
+    scale range; the soak's calibrated operating point uses (3, 5) — at
+    scale 2 a glyph spans ~1.5 positions of the encoder's /16 stride and
+    token accuracy ceilings too low for sequence-level exact match."""
     budget = int(rng.integers(min_len, max_len + 1))
     for _ in range(12):
-        scale = int(rng.integers(2, 4))
+        scale = int(rng.integers(*scale_range))
         ink = int(rng.integers(0, 60))
         gen = _HardGen(rng, scale, ink, max_tokens=budget, fonts=fonts)
         img, toks = gen.expr(0, max_atoms=max(min(budget // 2, 14), 3))
@@ -699,8 +703,8 @@ def synth_hard_sample(
         # too short: just resample (structural atoms emit several tokens,
         # so a small-n draw can undershoot min_len)
     else:  # guaranteed-valid fallback: exactly min_len plain symbols
-        scale = 2
-        gen = _HardGen(rng, 2, 0, max_tokens=min_len + 1, max_depth=0,
+        scale = scale_range[0]
+        gen = _HardGen(rng, scale, 0, max_tokens=min_len + 1, max_depth=0,
                        fonts=fonts)
         parts = [gen._sym() for _ in range(min_len)]
         img = _hstack([p for p, _ in parts], gap=2)

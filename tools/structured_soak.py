@@ -81,7 +81,11 @@ def build(steps: int, hard: bool = False, attn: str = "coverage"):
         # horizon so short pilots get a real warmup+cosine (schedule.py
         # guards the degenerate case too)
         num_iter=steps, valInterval=min(25000, max(steps // 4, 500)),
-        warmup_epochs=1, min_lr=0.0001, beam_size=5,
+        # hard mode: the breakthrough (terminal glyphs becoming readable)
+        # consistently lands right after warmup ends — a short warmup buys
+        # more post-breakthrough steps inside the same budget
+        warmup_epochs=0.4 if hard else 1,
+        min_lr=0.0001, beam_size=5,
     ))
     return cfg
 
@@ -115,7 +119,10 @@ def main() -> None:
     if args.hard:
         from doc2tex_tpu.data.synthetic import hard_vocab, synth_hard_dataset
 
-        kw = {"min_len": 8, "max_len": 150, "max_h": 220, "max_w": 696}
+        # calibrated operating point (see synth_hard_sample scale_range
+        # note): glyph scale {3,4}, everything else at API defaults
+        kw = {"min_len": 8, "max_len": 150, "max_h": 220, "max_w": 696,
+              "scale_range": (3, 5)}
         gen, vocab = synth_hard_dataset, hard_vocab()
     else:
         kw = {"min_len": 4, "max_len": 44, "max_h": 156, "max_w": 440}
