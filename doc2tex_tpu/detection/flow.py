@@ -56,15 +56,21 @@ class MathDetector:
         # module small enough for the remote-compile size limit
         jitted = jax.jit(self._detect_impl)
         self._detect = lambda v, x: jitted(v, x, self.priors)
+        # page-level NMS runs jitted at a FIXED (cap, top_k) shape — eager
+        # lax ops dispatch one-by-one over the tunnel (~2 s each), and a
+        # per-page variable box count would force a fresh compile per page
+        self._page_nms = jax.jit(
+            partial(nms_fixed, iou_thresh=self.iou_thresh, top_k=200)
+        )
+        self._nms_cap = 512
 
-    def _preprocess(self, windows: np.ndarray) -> np.ndarray:
-        """uint8 (N, 512, 512, C) -> float32 mean-subtracted 3-channel."""
-        x = windows.astype(np.float32)
+    def _detect_impl(self, variables, x_u8, priors):
+        # preprocess ON DEVICE: the host float32 3-channel version shipped
+        # ~100 MB/chunk over the tunnel; uint8 grayscale is ~8 MB
+        x = x_u8.astype(jnp.float32)
         if x.shape[-1] == 1:
-            x = np.repeat(x, 3, axis=-1)
-        return x - np.asarray(MATH_GTDB_512["mean_pixel"], np.float32)
-
-    def _detect_impl(self, variables, x, priors):
+            x = jnp.repeat(x, 3, axis=-1)
+        x = x - jnp.asarray(MATH_GTDB_512["mean_pixel"], jnp.float32)
         loc, conf = self.model.apply(variables, x)
         return batched_detect(
             loc, conf, priors,
@@ -93,9 +99,7 @@ class MathDetector:
                 chunk = np.concatenate(
                     [chunk, np.full((pad, *chunk.shape[1:]), 255, np.uint8)]
                 )
-            boxes, scores = self._detect(
-                self.variables, jnp.asarray(self._preprocess(chunk))
-            )
+            boxes, scores = self._detect(self.variables, jnp.asarray(chunk))
             all_boxes.append(np.asarray(boxes)[: len(chunk) - pad or None])
             all_scores.append(np.asarray(scores)[: len(chunk) - pad or None])
         boxes = np.concatenate(all_boxes)
@@ -108,12 +112,21 @@ class MathDetector:
             return page_boxes, page_scores
         # page-level NMS (reference demo/app.py:152, IoU 0.1)
         H, W = page.shape[:2]
-        kb, ks = nms_fixed(
-            jnp.asarray(page_boxes / np.array([W, H, W, H], np.float32)),
-            jnp.asarray(page_scores),
-            iou_thresh=nms_iou if nms_iou is not None else self.iou_thresh,
-            top_k=min(200, len(page_boxes)),
-        )
+        cap = self._nms_cap
+        if len(page_boxes) > cap:  # keep the top-cap by score
+            order = np.argsort(page_scores)[::-1][:cap]
+            page_boxes, page_scores = page_boxes[order], page_scores[order]
+        nb = np.zeros((cap, 4), np.float32)
+        ns = np.zeros((cap,), np.float32)
+        nb[: len(page_boxes)] = page_boxes / np.array([W, H, W, H], np.float32)
+        ns[: len(page_scores)] = page_scores
+        if nms_iou is not None and nms_iou != self.iou_thresh:
+            kb, ks = nms_fixed(
+                jnp.asarray(nb), jnp.asarray(ns),
+                iou_thresh=nms_iou, top_k=200,
+            )
+        else:
+            kb, ks = self._page_nms(jnp.asarray(nb), jnp.asarray(ns))
         kb, ks = np.asarray(kb), np.asarray(ks)
         keep = ks > 0
         boxes = kb[keep] * np.array([W, H, W, H], np.float32)

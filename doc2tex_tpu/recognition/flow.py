@@ -46,6 +46,13 @@ def postprocess_prediction(s: str) -> str:
 DEFAULT_RECOG_CFG = "demo/recog_cfg.yaml"
 
 
+def _snap_batch(n: int, cap: int = 64) -> int:
+    """Next power of two up to ``cap``, then multiples of ``cap``."""
+    if n >= cap:
+        return -(-n // cap) * cap
+    return 1 << (n - 1).bit_length()
+
+
 def load_recog_config(
     path: Optional[str] = None, version: str = "version2"
 ) -> tuple[dict, Optional[str]]:
@@ -130,6 +137,7 @@ class MathRecognition:
             self.config["min_dimension"],
             self.config["max_dimension"],
             self.config.get("scale_factor", 32),
+            growth=float(self.config.get("bucket_growth", 1.5)),
         )
         self._decode_cache: dict = {}
 
@@ -175,8 +183,19 @@ class MathRecognition:
             batch = np.stack(
                 [pad_to_bucket(prepped[i], bucket) for i in idxs]
             )[..., None]
+            # snap the batch axis to a power-of-two ladder so every
+            # (bucket, batch) pair maps to a bounded program set — ragged
+            # group sizes otherwise force a fresh XLA compile (~2-4 s over
+            # the tunnel) per page; padding rows replicate row 0 and are
+            # trimmed from the outputs
+            n = batch.shape[0]
+            padded_n = _snap_batch(n)
+            if padded_n != n:
+                batch = np.concatenate(
+                    [batch, np.repeat(batch[:1], padded_n - n, axis=0)]
+                )
             tokens, _ = decode(self.variables, batch)
-            for row, i in zip(np.asarray(tokens), idxs):
+            for row, i in zip(np.asarray(tokens)[:n], idxs):
                 toks = self.converter.detokenize(row[None])[0]
                 results[i] = postprocess_prediction(sep.join(toks))
         return results[0] if single else results
