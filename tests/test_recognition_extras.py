@@ -72,6 +72,27 @@ class TestRecognitionFlow:
         out = postprocess_prediction(r"\hspace { 1 c m } x")
         assert "hspace" in out and " " not in out.split("hspace")[1][:6]
 
+    def test_snap_batch_ladder(self):
+        # bounded program set: powers of two below the cap, multiples above
+        from doc2tex_tpu.recognition.flow import _snap_batch
+
+        assert [_snap_batch(n) for n in (1, 2, 3, 5, 9, 33, 64, 65, 129)] == [
+            1, 2, 4, 8, 16, 64, 64, 128, 192]
+        for n in range(1, 200):
+            assert _snap_batch(n) >= n
+
+    def test_ragged_group_snap_trim(self):
+        # 5 crops -> padded to 8 on device, outputs trimmed back to 5
+        from doc2tex_tpu.recognition import MathRecognition
+
+        rec = MathRecognition(config=tiny_recog_config())
+        crops = [np.full((40 + 5 * i, 80 + 9 * i), 255, np.uint8)
+                 for i in range(5)]
+        for c in crops:
+            c[5:-5, 5:-5] = 0
+        out = rec(crops)
+        assert len(out) == 5 and all(isinstance(s, str) for s in out)
+
 
 class TestExtras:
     def test_maxout(self):
