@@ -96,7 +96,7 @@ def run_infer(config, dataset, log_path: str | None = None) -> dict:
     from doc2tex_tpu.engine.inferencing import validation
     from doc2tex_tpu.models import build_model
     from doc2tex_tpu.tokenizer.converters import create_converter
-    from doc2tex_tpu.train.checkpoint import load_pretrained_params
+    from doc2tex_tpu.train.checkpoint import load_pretrained_variables
     from doc2tex_tpu.train.trainer import init_model, param_count
 
     converter = create_converter(config)
@@ -109,7 +109,9 @@ def run_infer(config, dataset, log_path: str | None = None) -> dict:
         (config["batch_size"], h0, w0, 1), config["batch_max_length"] + 1,
     )
     if config.get("saved_model"):
-        params, info = load_pretrained_params(config["saved_model"], params)
+        params, batch_stats, info = load_pretrained_variables(
+            config["saved_model"], params, batch_stats
+        )
         print(f"loaded weights: {info}")
 
     loader = BucketLoader(

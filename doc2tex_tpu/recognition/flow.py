@@ -23,7 +23,7 @@ from ..data.buckets import make_ladder, pad_to_bucket
 from ..decode.runner import make_decode_fn
 from ..models import build_model
 from ..tokenizer.converters import create_converter
-from ..train.checkpoint import load_pretrained_params
+from ..train.checkpoint import load_pretrained_variables
 from ..train.trainer import init_model
 from ..transforms.preprocess import resize_for_inference
 
@@ -131,7 +131,9 @@ class MathRecognition:
             self.config["batch_max_length"] + 1,
         )
         if weights_path:
-            params, _ = load_pretrained_params(weights_path, params)
+            params, batch_stats, _ = load_pretrained_variables(
+                weights_path, params, batch_stats
+            )
         self.variables = {"params": params, "batch_stats": batch_stats}
         self.table = make_ladder(
             self.config["min_dimension"],

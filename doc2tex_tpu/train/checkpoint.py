@@ -86,14 +86,13 @@ def load_checkpoint(
     return restored, meta
 
 
-def load_pretrained_params(path: str, params) -> Any:
-    """Partial (strict=False) init: copy every leaf whose path + shape match
-    (reference ``model_utils.py:139-147``), resizing learned pos-embeds when
-    only the grid length differs."""
-    payload, _ = load_checkpoint(path)
-    saved = traverse_util.flatten_dict(payload["params"], sep="/")
+def _partial_restore(saved_tree, target) -> tuple[Any, dict]:
+    """Copy every saved leaf whose path + shape match into ``target``
+    (reference ``model_utils.py:139-147`` strict=False semantics), resizing
+    learned pos-embeds when only the grid length differs."""
+    saved = traverse_util.flatten_dict(saved_tree, sep="/")
     flat = traverse_util.flatten_dict(
-        serialization.to_state_dict(params), sep="/"
+        serialization.to_state_dict(target), sep="/"
     )
     loaded = skipped = resized = 0
     for k, v in flat.items():
@@ -118,8 +117,34 @@ def load_pretrained_params(path: str, params) -> Any:
     restored = traverse_util.unflatten_dict(
         {tuple(k.split("/")): v for k, v in flat.items()}
     )
-    out = serialization.from_state_dict(params, restored)
+    out = serialization.from_state_dict(target, restored)
     return out, {"loaded": loaded, "skipped": skipped, "resized": resized}
+
+
+def load_pretrained_params(path: str, params) -> Any:
+    """Partial (strict=False) params-only init from a checkpoint."""
+    payload, _ = load_checkpoint(path)
+    return _partial_restore(payload["params"], params)
+
+
+def load_pretrained_variables(
+    path: str, params, batch_stats=None
+) -> tuple[Any, Any, dict]:
+    """Partial init of params AND batch-norm running stats.
+
+    The reference's ``load_state_dict`` restores BN running stats together
+    with the weights; params-only restore would evaluate a trained BN model
+    against freshly-initialized statistics."""
+    payload, _ = load_checkpoint(path)
+    params_out, info = _partial_restore(payload["params"], params)
+    stats_out = batch_stats
+    if batch_stats is not None and payload.get("batch_stats"):
+        stats_out, sinfo = _partial_restore(
+            payload["batch_stats"], batch_stats
+        )
+        info = dict(info, stats_loaded=sinfo["loaded"],
+                    stats_skipped=sinfo["skipped"])
+    return params_out, stats_out, info
 
 
 def resize_pos_embed(table: np.ndarray, new_len: int) -> np.ndarray:

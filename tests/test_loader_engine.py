@@ -150,6 +150,38 @@ class TestCheckpoint:
         params2, info = load_pretrained_params(path, state.params)
         assert info["loaded"] > 0 and info["skipped"] == 0
 
+    def test_pretrained_load_restores_batch_stats(self, tmp_path, conv):
+        # BN running stats must ride along with the weights (reference
+        # load_state_dict semantics) — params-only restore would evaluate
+        # trained weights against fresh statistics
+        from doc2tex_tpu.models import build_model
+        from doc2tex_tpu.train.checkpoint import (
+            load_pretrained_variables,
+            save_checkpoint,
+        )
+        from doc2tex_tpu.train.trainer import create_train_state, init_model
+
+        cfg = small_config()
+        model = build_model(cfg, conv.num_classes)
+        state, _ = create_train_state(model, cfg, jax.random.PRNGKey(0), (2, 32, 64, 1))
+        # perturb the running stats so restore is distinguishable from init
+        bumped = jax.tree_util.tree_map(lambda x: x + 1.25, state.batch_stats)
+        state = state._replace(batch_stats=bumped)
+        path = str(tmp_path / "pre.msgpack")
+        save_checkpoint(path, state, {})
+
+        params0, stats0 = init_model(
+            model, jax.random.PRNGKey(3), (1, 32, 64, 1),
+            cfg["batch_max_length"] + 1,
+        )
+        p, s, info = load_pretrained_variables(path, params0, stats0)
+        assert info["loaded"] > 0 and info.get("stats_loaded", 0) > 0
+        for x, y in zip(
+            jax.tree_util.tree_leaves(s),
+            jax.tree_util.tree_leaves(bumped),
+        ):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y))
+
 
 class TestEngine:
     def test_sanity_check_train(self, tmp_path):
