@@ -109,14 +109,18 @@ class MathRecognition:
         weights_path: Optional[str] = None,
         beam_size: Optional[int] = None,
         seed: int = 0,
-        use_clahe: bool = True,
+        use_clahe: Optional[bool] = None,
     ):
-        # CLAHE is always-on in the reference demo recognizer's transform
-        # (demo/HybridViT/helper.py:40-52); use_clahe=False disables it.
-        self.use_clahe = use_clahe
         self.config = config if config is not None else make_config(
             {"synthetic_data": 1}
         )
+        # CLAHE is always-on in the reference demo recognizer's transform
+        # (demo/HybridViT/helper.py:40-52); a model version trained without
+        # it (e.g. the in-repo `synthetic` release) sets `clahe: False` in
+        # its config block; the constructor arg overrides either way.
+        if use_clahe is None:
+            use_clahe = bool(self.config.get("clahe", True))
+        self.use_clahe = use_clahe
         self.converter = create_converter(self.config)
         self.config["num_class"] = self.converter.num_classes
         self.model = build_model(self.config, self.converter.num_classes)

@@ -60,6 +60,22 @@ class TestRecogConfigContract:
         assert len(vocab) >= 500
         assert len(set(vocab)) == len(vocab)
 
+    def test_synthetic_release_block(self):
+        # the in-repo released model version: soak-trained weights +
+        # architecture overrides (smaller than the flagship common block)
+        from doc2tex_tpu.recognition import load_recog_config
+
+        cfg, weights = load_recog_config(version="synthetic")
+        assert cfg["max_dimension"] == [224, 704]
+        assert cfg["SequenceModeling"]["params"]["depth"] == 3
+        assert cfg["SequenceModeling"]["params"]["hidden_size"] == 128
+        assert cfg["Prediction"]["params"]["hidden_size"] == 128
+        assert cfg["clahe"] is False
+        assert int(cfg["beam_size"]) == 10  # inherits the demo contract
+        assert os.path.exists(cfg["vocab"])
+        if weights is not None:  # exported weights ship in-repo
+            assert os.path.getsize(weights) > 1 << 20
+
     def test_unknown_version_raises(self):
         import pytest as _pytest
 
