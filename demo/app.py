@@ -12,6 +12,7 @@ activates when streamlit is installed (``streamlit run demo/app.py``).
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 from pathlib import Path
 
@@ -54,11 +55,25 @@ class App:
         # reference uses for full-PDF processing (gtdb/stitch_patches_pdf)
         self.stitch = stitch
         self.stitch_votes = stitch_votes
-        self.detector = (
-            MathDetector(variables=detect_weights, conf_thresh=conf_thresh)
-            if use_detect
-            else None
-        )
+        if use_detect:
+            # detect_weights: a checkpoint path (str), a variables pytree,
+            # or None -> the in-repo released detector weights when present
+            if detect_weights is None:
+                shipped = os.path.join(
+                    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                    "saved_models", "math_detect", "best_weights.msgpack",
+                )
+                detect_weights = shipped if os.path.exists(shipped) else None
+            if isinstance(detect_weights, str):
+                self.detector = MathDetector(
+                    weights_path=detect_weights, conf_thresh=conf_thresh
+                )
+            else:
+                self.detector = MathDetector(
+                    variables=detect_weights, conf_thresh=conf_thresh
+                )
+        else:
+            self.detector = None
         self.recognizer = MathRecognition(
             config=recog_config, weights_path=recog_weights
         )
@@ -114,6 +129,9 @@ def _cli() -> None:
     p.add_argument("--model_version", default="version2",
                    help="version block of recog_cfg.yaml to use")
     p.add_argument("--recog_weights", default=None)
+    p.add_argument("--detect_weights", default=None,
+                   help="SSD checkpoint; defaults to the in-repo released "
+                   "saved_models/math_detect weights when present")
     p.add_argument("--no_detect", action="store_true")
     p.add_argument(
         "--stitch", action="store_true",
@@ -148,6 +166,7 @@ def _cli() -> None:
     app = App(
         recog_config=cfg,
         recog_weights=args.recog_weights,
+        detect_weights=args.detect_weights,
         use_detect=not args.no_detect,
         stitch=args.stitch,
         stitch_votes=args.stitch_votes,

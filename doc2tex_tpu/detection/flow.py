@@ -37,6 +37,7 @@ class MathDetector:
         stride: tuple[int, int] = (128, 128),
         batch_size: int = 32,
         seed: int = 0,
+        weights_path: Optional[str] = None,
     ):
         self.model = SSD512(num_classes=2)
         self.priors = jnp.asarray(make_priors(MATH_GTDB_512))
@@ -51,6 +52,16 @@ class MathDetector:
             variables = jax.jit(self.model.init)(
                 jax.random.PRNGKey(seed), dummy
             )
+        if weights_path:
+            from ..train.checkpoint import load_pretrained_variables
+
+            params, stats, _info = load_pretrained_variables(
+                weights_path, variables["params"],
+                variables.get("batch_stats"),
+            )
+            variables = dict(variables, params=params)
+            if stats is not None:
+                variables["batch_stats"] = stats
         self.variables = variables
         # priors as a jit ARG (not closure constant) keeps the serialized
         # module small enough for the remote-compile size limit

@@ -255,6 +255,32 @@ class TestStitchRgbAndRaw:
         out = stitch_page(dets, (200, 300), page_image=page, thresh_votes=2)
         assert out == [[40, 50, 120, 80]]
 
+    def test_weights_path_roundtrip(self, tmp_path):
+        # trained SSD params saved by tools/detection_soak.py --save must
+        # restore into a fresh MathDetector (the shipped-weights demo path)
+        from types import SimpleNamespace
+
+        import jax
+
+        from doc2tex_tpu.detection.flow import MathDetector
+        from doc2tex_tpu.train.checkpoint import save_checkpoint
+
+        det = MathDetector(stride=(512, 512), batch_size=1, seed=3)
+        path = str(tmp_path / "ssd.msgpack")
+        save_checkpoint(
+            path,
+            SimpleNamespace(step=1, params=det.variables["params"],
+                            batch_stats={}, opt_state={}),
+            {},
+        )
+        det2 = MathDetector(stride=(512, 512), batch_size=1, seed=7,
+                            weights_path=path)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(det.variables["params"]),
+            jax.tree_util.tree_leaves(det2.variables["params"]),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     def test_detect_page_raw_skips_nms(self):
         from doc2tex_tpu.detection.flow import MathDetector
 

@@ -41,6 +41,9 @@ def main() -> None:
     ap.add_argument("--steps", type=int, default=400)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--n_eval", type=int, default=8)
+    ap.add_argument("--save", default="/tmp/det_soak/last.msgpack",
+                    help="checkpoint path for the trained SSD params "
+                    "(exportable via tools/export_demo_weights.py)")
     args = ap.parse_args()
 
     import jax
@@ -147,6 +150,19 @@ def main() -> None:
         truths.append(boxes * 512)
     scores = crohme_detection_scores(preds, truths)
     print("CROHME scores:", scores, flush=True)
+
+    if args.save:
+        from types import SimpleNamespace
+
+        from doc2tex_tpu.train.checkpoint import save_checkpoint
+
+        save_checkpoint(
+            args.save,
+            SimpleNamespace(step=args.steps, params=params,
+                            batch_stats={}, opt_state={}),
+            {"iter": args.steps, "final_loss": final_loss, **scores},
+        )
+        print(f"saved {args.save}", flush=True)
     print("DETECTION SOAK DONE", flush=True)
 
 
