@@ -46,6 +46,7 @@ def main() -> None:
     trace_dir = None
     if "--trace" in sys.argv:  # jax profiler trace of the timed region
         trace_dir = "/tmp/doc2tex_trace"
+    int8 = "--int8" in sys.argv  # quantize encoder matmuls/convs (ops/quant.py)
     import jax
 
     # persistent compile cache: repeat bench runs skip the 30-200s XLA
@@ -97,6 +98,13 @@ def main() -> None:
         tokens, _ = decode(variables, images)
         return int(tokens[0, 0]) + int(tokens[-1, -1])
 
+    if int8:
+        # quant context is trace-time: entering it before the compile call
+        # makes every encoder Dense/Conv trace through the int8 MXU path
+        from doc2tex_tpu.ops.quant import quantized_inference
+
+        ctx = quantized_inference()
+        ctx.__enter__()
     t0 = time.perf_counter()
     run_once(batch)
     compile_s = time.perf_counter() - t0
@@ -135,10 +143,13 @@ def main() -> None:
         with open(path) as f:
             baseline = json.load(f)["results"][f"beam{BENCH_BEAM}"]["images_per_sec"]
 
+    metric = "IM2LATEX-synth images/sec/chip, beam=5, 64x320, max_len=150"
+    if int8:
+        metric += ", int8 encoder"
     print(
         json.dumps(
             {
-                "metric": "IM2LATEX-synth images/sec/chip, beam=5, 64x320, max_len=150",
+                "metric": metric,
                 "value": round(ips, 3),
                 "unit": "images/sec",
                 "vs_baseline": round(ips / baseline, 2),

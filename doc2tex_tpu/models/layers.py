@@ -82,10 +82,19 @@ class Mlp(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        x = nn.Dense(self.hidden_features, dtype=self.dtype, kernel_init=trunc_init)(x)
+        from ..ops.quant import maybe_dot_general
+
+        dg = maybe_dot_general()
+        x = nn.Dense(
+            self.hidden_features, dtype=self.dtype, kernel_init=trunc_init,
+            dot_general=dg,
+        )(x)
         x = nn.gelu(x)
         x = nn.Dropout(self.drop)(x, deterministic=deterministic)
-        x = nn.Dense(self.out_features, dtype=self.dtype, kernel_init=trunc_init)(x)
+        x = nn.Dense(
+            self.out_features, dtype=self.dtype, kernel_init=trunc_init,
+            dot_general=dg,
+        )(x)
         x = nn.Dropout(self.drop)(x, deterministic=deterministic)
         return x
 
@@ -105,6 +114,9 @@ class SelfAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
+        from ..ops.quant import maybe_dot_general
+
+        dg = maybe_dot_general()
         B, N, C = x.shape
         head_dim = self.dim // self.num_heads
         scale = head_dim**-0.5
@@ -113,6 +125,7 @@ class SelfAttention(nn.Module):
             use_bias=self.qkv_bias,
             dtype=self.dtype,
             kernel_init=trunc_init,
+            dot_general=dg,
         )(x)
         qkv = qkv.reshape(B, N, 3, self.num_heads, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, H, hd)
@@ -124,7 +137,9 @@ class SelfAttention(nn.Module):
         self.sow("intermediates", "attn_probs", attn)
         attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
         out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(B, N, C)
-        out = nn.Dense(self.dim, dtype=self.dtype, kernel_init=trunc_init)(out)
+        out = nn.Dense(
+            self.dim, dtype=self.dtype, kernel_init=trunc_init, dot_general=dg
+        )(out)
         out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
         return out
 

@@ -51,6 +51,8 @@ class ConvBN(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        from ..ops.quant import maybe_conv_general
+
         x = nn.Conv(
             self.features,
             self.kernel,
@@ -59,6 +61,7 @@ class ConvBN(nn.Module):
             use_bias=False,
             dtype=self.dtype,
             kernel_init=kaiming,
+            conv_general_dilated=maybe_conv_general(),
         )(x)
         # BN computes in the module dtype: keeps the conv->bn->relu chain
         # in bf16 on TPU (f32 roundtrips on full-res maps were the encoder
@@ -87,9 +90,12 @@ class BasicBlock(nn.Module):
         out = nn.relu(out)
         out = ConvBN(self.planes, dtype=self.dtype)(out, train)
         if self.use_downsample:
+            from ..ops.quant import maybe_conv_general
+
             residual = nn.Conv(
                 self.planes, (1, 1), strides=(self.stride, self.stride),
                 use_bias=False, dtype=self.dtype, kernel_init=kaiming,
+                conv_general_dilated=maybe_conv_general(),
             )(x)
             residual = nn.BatchNorm(
                 use_running_average=not train, momentum=0.9, epsilon=1e-5,

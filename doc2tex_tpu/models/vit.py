@@ -90,6 +90,8 @@ class HybridEmbed(nn.Module):
         if pad_h or pad_w:
             feat = jnp.pad(feat, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
         gh, gw = (fh + pad_h) // ph, (fw + pad_w) // pw
+        from ..ops.quant import maybe_conv_general
+
         tokens = nn.Conv(
             self.embed_dim,
             self.patch_size,
@@ -97,6 +99,7 @@ class HybridEmbed(nn.Module):
             padding="VALID",
             dtype=self.dtype,
             kernel_init=trunc_init,
+            conv_general_dilated=maybe_conv_general(),
         )(feat)
         return tokens.reshape(B, gh * gw, self.embed_dim), (gh, gw)
 

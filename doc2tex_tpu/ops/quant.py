@@ -1,0 +1,134 @@
+"""Dynamic int8 quantization for inference-time encoder matmuls/convs.
+
+The flagship encoder is compute-bound at ~84% of v5e bf16 peak, so the one
+remaining headline lever is the MXU's ~2x int8 throughput.  This module
+implements *dynamic* symmetric int8 quantization fused into the op:
+
+  - activations: per-tensor abs-max scale, computed on the fly
+  - weights:     per-output-channel abs-max scale
+  - accumulate in int32 on the MXU, rescale to the original dtype
+
+No parameter-tree changes: checkpoints stay identical, the quantized path
+is injected through flax's ``nn.Dense(dot_general=...)`` /
+``nn.Conv(conv_general_dilated=...)`` hooks at *trace* time via the
+``quantized_inference()`` context manager.  Training is never quantized —
+the context is only entered around inference traces (bench/decode), and
+rounding would break gradients anyway.
+
+The reference has no quantization path at all (torch fp32 CPU inference,
+``doc2tex/tools/create_dataset/...`` none); this is a TPU-native extension
+justified by the v5e MXU int8 peak.  Measured speed/accuracy tradeoffs are
+recorded in BASELINE.md (int8 rows) and tools/int8_microbench.py.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+_EPS = 1e-8
+
+# stack, mirroring parallel.mesh's activation-mesh context pattern
+_QUANT_STACK: list = []
+
+
+class quantized_inference:
+    """Context manager: encoder Dense/Conv layers traced inside it run
+    int8 dynamic-quantized matmuls/convs.  Trace-time only — wrap the
+    ``jax.jit`` trace (first call), not the steady-state calls."""
+
+    def __init__(self, mode: str = "int8"):
+        if mode not in ("int8",):
+            raise ValueError(f"unknown quant mode {mode!r}")
+        self.mode = mode
+
+    def __enter__(self):
+        _QUANT_STACK.append(self.mode)
+        return self
+
+    def __exit__(self, *exc):
+        _QUANT_STACK.pop()
+        return False
+
+
+def active_quant_mode() -> Optional[str]:
+    return _QUANT_STACK[-1] if _QUANT_STACK else None
+
+
+def _quantize(x: jax.Array, axes) -> tuple[jax.Array, jax.Array]:
+    """Symmetric int8 quantization; scale reduced over ``axes``.
+
+    Returns (int8 values, float32 scale broadcastable against x)."""
+    xf = x.astype(jnp.float32)
+    scale = jnp.max(jnp.abs(xf), axis=axes, keepdims=True) / 127.0
+    scale = jnp.maximum(scale, _EPS)
+    q = jnp.clip(jnp.round(xf / scale), -127.0, 127.0).astype(jnp.int8)
+    return q, scale
+
+
+# ---------------------------------------------------------------- dense
+def int8_dot_general(lhs, rhs, dimension_numbers, precision=None,
+                     preferred_element_type=None):
+    """Drop-in for ``lax.dot_general`` in flax Dense: int8 MXU matmul with
+    per-tensor lhs scale and per-output-channel rhs scale.
+
+    Only the flax-Dense contraction pattern (last dim of lhs x dim 0 of
+    rhs, no batch dims) gets the per-channel treatment; anything else
+    falls back to per-tensor scales on both sides.
+    """
+    (lc, rc), (lb, rb) = dimension_numbers
+    lq, ls = _quantize(lhs, axes=None)  # per-tensor
+    dense_like = (
+        not lb and not rb and tuple(lc) == (lhs.ndim - 1,) and tuple(rc) == (0,)
+    )
+    if dense_like:
+        rq, rs = _quantize(rhs, axes=tuple(range(rhs.ndim - 1)))  # per-out-col
+        rs_out = jnp.squeeze(rs, axis=tuple(range(rhs.ndim - 1)))
+    else:
+        rq, rs = _quantize(rhs, axes=None)
+        rs_out = jnp.ravel(rs)[0]
+    acc = lax.dot_general(
+        lq, rq, dimension_numbers, precision=precision,
+        preferred_element_type=jnp.int32,
+    )
+    out = acc.astype(jnp.float32) * (jnp.ravel(ls)[0] * rs_out)
+    return out.astype(lhs.dtype)
+
+
+# ---------------------------------------------------------------- conv
+def int8_conv_general_dilated(lhs, rhs, window_strides, padding,
+                              lhs_dilation=None, rhs_dilation=None,
+                              dimension_numbers=None, feature_group_count=1,
+                              precision=None, preferred_element_type=None):
+    """Drop-in for ``lax.conv_general_dilated`` in flax Conv (NHWC/HWIO):
+    int8 conv with per-tensor input scale + per-output-channel kernel
+    scale, int32 accumulation on the MXU."""
+    lq, ls = _quantize(lhs, axes=None)
+    # flax always passes HWIO kernels (out channels last)
+    rq, rs = _quantize(rhs, axes=tuple(range(rhs.ndim - 1)))
+    acc = lax.conv_general_dilated(
+        lq, rq, window_strides, padding,
+        lhs_dilation=lhs_dilation, rhs_dilation=rhs_dilation,
+        dimension_numbers=dimension_numbers,
+        feature_group_count=feature_group_count,
+        precision=precision, preferred_element_type=jnp.int32,
+    )
+    # rs is (1,..,1,Cout) -> broadcast over the NHWC output's channel dim
+    scale = jnp.ravel(ls)[0] * jnp.reshape(rs, (1,) * (acc.ndim - 1) + (-1,))
+    out = acc.astype(jnp.float32) * scale
+    return out.astype(lhs.dtype)
+
+
+def maybe_dot_general():
+    """For ``nn.Dense(dot_general=...)`` call sites: the quantized op when
+    a quantized_inference() context is active at trace time, else None
+    (flax falls through to lax.dot_general)."""
+    return int8_dot_general if active_quant_mode() == "int8" else None
+
+
+def maybe_conv_general():
+    """For ``nn.Conv(conv_general_dilated=...)`` call sites."""
+    return int8_conv_general_dilated if active_quant_mode() == "int8" else None

@@ -1,0 +1,98 @@
+"""Int8 dynamic-quantization path (ops/quant.py).
+
+The reference has no quantization (torch fp32 CPU); this is a TPU-native
+extension — the v5e MXU has ~2x int8 peak over bf16 and the encoder is
+compute-bound, so an inference-only int8 path is the remaining headline
+lever.  These tests pin: op-level closeness to the f32 result, exact
+no-op behavior when the context is off, and encoder-level closeness with
+an unchanged parameter tree.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from doc2tex_tpu.ops.quant import (
+    active_quant_mode,
+    int8_conv_general_dilated,
+    int8_dot_general,
+    maybe_conv_general,
+    maybe_dot_general,
+    quantized_inference,
+)
+
+from doc2tex_tpu.models import build_model
+from tests.test_models import tiny_vit_config
+
+
+class TestQuantOps:
+    def test_dot_general_close_to_f32(self):
+        k = jax.random.PRNGKey(0)
+        a = jax.random.normal(k, (64, 128), jnp.float32)
+        w = jax.random.normal(jax.random.PRNGKey(1), (128, 256), jnp.float32) * 0.05
+        ref = a @ w
+        q = int8_dot_general(a, w, (((1,), (0,)), ((), ())))
+        rel = np.abs(np.asarray(q - ref)).max() / np.abs(np.asarray(ref)).max()
+        assert rel < 0.03
+        assert q.dtype == a.dtype
+
+    def test_dot_general_batched_fallback(self):
+        # non-Dense contraction pattern -> per-tensor fallback, still close
+        k = jax.random.PRNGKey(2)
+        a = jax.random.normal(k, (4, 16, 32), jnp.float32)
+        b = jax.random.normal(jax.random.PRNGKey(3), (4, 32, 8), jnp.float32)
+        dn = (((2,), (1,)), ((0,), (0,)))
+        ref = jax.lax.dot_general(a, b, dn)
+        q = int8_dot_general(a, b, dn)
+        rel = np.abs(np.asarray(q - ref)).max() / np.abs(np.asarray(ref)).max()
+        assert rel < 0.05
+
+    def test_conv_close_to_f32(self):
+        k = jax.random.PRNGKey(4)
+        x = jax.random.normal(k, (2, 16, 16, 32), jnp.float32)
+        w = jax.random.normal(jax.random.PRNGKey(5), (3, 3, 32, 64), jnp.float32) * 0.05
+        dn = ("NHWC", "HWIO", "NHWC")
+        ref = jax.lax.conv_general_dilated(x, w, (1, 1), "SAME", dimension_numbers=dn)
+        q = int8_conv_general_dilated(x, w, (1, 1), "SAME", dimension_numbers=dn)
+        rel = np.abs(np.asarray(q - ref)).max() / np.abs(np.asarray(ref)).max()
+        assert rel < 0.03
+
+    def test_zero_input_no_nan(self):
+        z = jnp.zeros((8, 16), jnp.float32)
+        w = jnp.zeros((16, 4), jnp.float32)
+        out = int8_dot_general(z, w, (((1,), (0,)), ((), ())))
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_context_gating(self):
+        assert active_quant_mode() is None
+        assert maybe_dot_general() is None
+        assert maybe_conv_general() is None
+        with quantized_inference():
+            assert active_quant_mode() == "int8"
+            assert maybe_dot_general() is int8_dot_general
+            assert maybe_conv_general() is int8_conv_general_dilated
+        assert active_quant_mode() is None
+
+
+class TestQuantEncoder:
+    def test_encoder_int8_close_and_params_unchanged(self):
+        cfg = tiny_vit_config()
+        model = build_model(cfg, 20)
+        img = jax.random.normal(jax.random.PRNGKey(7), (2, 32, 64, 1), jnp.float32)
+        variables = model.init(jax.random.PRNGKey(0), img, jnp.zeros((2, 4), jnp.int32))
+
+        enc_ref = model.apply(variables, img, method=model.encode)
+        with quantized_inference():
+            # same variables, quantized trace — param tree is untouched
+            enc_q = model.apply(variables, img, method=model.encode)
+
+        a = np.asarray(enc_ref, np.float32).ravel()
+        b = np.asarray(enc_q, np.float32).ravel()
+        cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9))
+        assert cos > 0.99, cos
+        # and it genuinely took the quantized path (not a silent no-op)
+        assert not np.allclose(a, b)
+
+        # context off again -> bit-identical to the baseline trace
+        enc_off = model.apply(variables, img, method=model.encode)
+        np.testing.assert_array_equal(np.asarray(enc_ref), np.asarray(enc_off))
