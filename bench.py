@@ -46,7 +46,11 @@ def main() -> None:
     trace_dir = None
     if "--trace" in sys.argv:  # jax profiler trace of the timed region
         trace_dir = "/tmp/doc2tex_trace"
-    int8 = "--int8" in sys.argv  # quantize encoder matmuls/convs (ops/quant.py)
+    # int8 encoder (ops/quant.py) is the DEFAULT headline path: measured
+    # +27% same-session over bf16 at ZERO exact-match cost on the trained
+    # demo weights (tools/int8_accuracy_eval.py: EM 0.725 both modes).
+    # --bf16 runs the unquantized path for comparison.
+    int8 = "--bf16" not in sys.argv
     import jax
 
     # persistent compile cache: repeat bench runs skip the 30-200s XLA
@@ -193,8 +197,14 @@ def gate_main() -> None:
     quick = "--quick" in sys.argv
     hard_vocab_mode = "--hard-vocab" in sys.argv
     demo_mode = "--demo" in sys.argv
+    int8 = "--int8" in sys.argv  # opt-in here (headline bench defaults on)
     import jax
     import jax.numpy as jnp
+
+    if int8:
+        from doc2tex_tpu.ops.quant import quantized_inference
+
+        quantized_inference().__enter__()  # trace-time; held for the process
 
     try:
         jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
@@ -349,6 +359,8 @@ def gate_main() -> None:
     agg_ips = total_images / total_time
     for r in rows:
         print(json.dumps(r), file=sys.stderr)
+    if int8:
+        workload += ", int8 encoder"
     result = {
         "metric": f"{workload} images/sec/chip",
         "value": round(agg_ips, 3),

@@ -27,9 +27,17 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 _EPS = 1e-8
+
+# Shape gates, from tools/int8_microbench.py on v5e-1: int8 wins only when
+# both matmul dims tile well onto the int8 MXU ((32, 128) min tile) —
+# the 64->128 early conv REGRESSES to 0.72x while the 512->512 deep conv
+# gains 1.39x.  Ops below these sizes fall through to the bf16 path.
+MIN_CONTRACT = 256   # contraction dim (kh*kw*cin for convs)
+MIN_OUT = 128        # output-channel dim
 
 # stack, mirroring parallel.mesh's activation-mesh context pattern
 _QUANT_STACK: list = []
@@ -80,6 +88,15 @@ def int8_dot_general(lhs, rhs, dimension_numbers, precision=None,
     falls back to per-tensor scales on both sides.
     """
     (lc, rc), (lb, rb) = dimension_numbers
+    contract = int(np.prod([rhs.shape[d] for d in rc]))
+    n_out = int(
+        np.prod([rhs.shape[d] for d in range(rhs.ndim) if d not in rc and d not in rb])
+    )
+    if contract < MIN_CONTRACT or n_out < MIN_OUT:
+        return lax.dot_general(
+            lhs, rhs, dimension_numbers, precision=precision,
+            preferred_element_type=preferred_element_type,
+        )
     lq, ls = _quantize(lhs, axes=None)  # per-tensor
     dense_like = (
         not lb and not rb and tuple(lc) == (lhs.ndim - 1,) and tuple(rc) == (0,)
@@ -106,6 +123,16 @@ def int8_conv_general_dilated(lhs, rhs, window_strides, padding,
     """Drop-in for ``lax.conv_general_dilated`` in flax Conv (NHWC/HWIO):
     int8 conv with per-tensor input scale + per-output-channel kernel
     scale, int32 accumulation on the MXU."""
+    # HWIO kernel: contraction = kh*kw*cin_per_group, out channels last
+    contract = int(np.prod(rhs.shape[:-1]))
+    if contract < MIN_CONTRACT or rhs.shape[-1] < MIN_OUT:
+        return lax.conv_general_dilated(
+            lhs, rhs, window_strides, padding,
+            lhs_dilation=lhs_dilation, rhs_dilation=rhs_dilation,
+            dimension_numbers=dimension_numbers,
+            feature_group_count=feature_group_count,
+            precision=precision, preferred_element_type=preferred_element_type,
+        )
     lq, ls = _quantize(lhs, axes=None)
     # flax always passes HWIO kernels (out channels last)
     rq, rs = _quantize(rhs, axes=tuple(range(rhs.ndim - 1)))

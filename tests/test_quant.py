@@ -11,7 +11,9 @@ an unchanged parameter tree.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
+import doc2tex_tpu.ops.quant as quant
 from doc2tex_tpu.ops.quant import (
     active_quant_mode,
     int8_conv_general_dilated,
@@ -25,8 +27,25 @@ from doc2tex_tpu.models import build_model
 from tests.test_models import tiny_vit_config
 
 
+@pytest.fixture
+def no_gates(monkeypatch):
+    """Disable the v5e shape gates so small test shapes take the int8 path."""
+    monkeypatch.setattr(quant, "MIN_CONTRACT", 1)
+    monkeypatch.setattr(quant, "MIN_OUT", 1)
+
+
 class TestQuantOps:
-    def test_dot_general_close_to_f32(self):
+    def test_shape_gate_falls_back_exactly(self):
+        # below MIN_CONTRACT/MIN_OUT the op is bit-identical to lax (int8
+        # REGRESSES on small shapes — tools/int8_microbench.py: 64->128
+        # conv is 0.72x)
+        k = jax.random.PRNGKey(9)
+        a = jax.random.normal(k, (8, 32), jnp.float32)
+        w = jax.random.normal(k, (32, 16), jnp.float32)
+        q = int8_dot_general(a, w, (((1,), (0,)), ((), ())))
+        np.testing.assert_array_equal(np.asarray(q), np.asarray(a @ w))
+
+    def test_dot_general_close_to_f32(self, no_gates):
         k = jax.random.PRNGKey(0)
         a = jax.random.normal(k, (64, 128), jnp.float32)
         w = jax.random.normal(jax.random.PRNGKey(1), (128, 256), jnp.float32) * 0.05
@@ -36,7 +55,7 @@ class TestQuantOps:
         assert rel < 0.03
         assert q.dtype == a.dtype
 
-    def test_dot_general_batched_fallback(self):
+    def test_dot_general_batched_fallback(self, no_gates):
         # non-Dense contraction pattern -> per-tensor fallback, still close
         k = jax.random.PRNGKey(2)
         a = jax.random.normal(k, (4, 16, 32), jnp.float32)
@@ -47,7 +66,7 @@ class TestQuantOps:
         rel = np.abs(np.asarray(q - ref)).max() / np.abs(np.asarray(ref)).max()
         assert rel < 0.05
 
-    def test_conv_close_to_f32(self):
+    def test_conv_close_to_f32(self, no_gates):
         k = jax.random.PRNGKey(4)
         x = jax.random.normal(k, (2, 16, 16, 32), jnp.float32)
         w = jax.random.normal(jax.random.PRNGKey(5), (3, 3, 32, 64), jnp.float32) * 0.05
@@ -57,7 +76,7 @@ class TestQuantOps:
         rel = np.abs(np.asarray(q - ref)).max() / np.abs(np.asarray(ref)).max()
         assert rel < 0.03
 
-    def test_zero_input_no_nan(self):
+    def test_zero_input_no_nan(self, no_gates):
         z = jnp.zeros((8, 16), jnp.float32)
         w = jnp.zeros((16, 4), jnp.float32)
         out = int8_dot_general(z, w, (((1,), (0,)), ((), ())))
@@ -75,7 +94,7 @@ class TestQuantOps:
 
 
 class TestQuantEncoder:
-    def test_encoder_int8_close_and_params_unchanged(self):
+    def test_encoder_int8_close_and_params_unchanged(self, no_gates):
         cfg = tiny_vit_config()
         model = build_model(cfg, 20)
         img = jax.random.normal(jax.random.PRNGKey(7), (2, 32, 64, 1), jnp.float32)
