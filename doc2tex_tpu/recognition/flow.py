@@ -121,6 +121,10 @@ class MathRecognition:
         if use_clahe is None:
             use_clahe = bool(self.config.get("clahe", True))
         self.use_clahe = use_clahe
+        # opt-in int8 encoder (ops/quant.py): `quantize: int8` in the model
+        # version block — measured zero exact-match cost on the `synthetic`
+        # release weights, +27% on the headline bench (BASELINE.md)
+        self.quantize = str(self.config.get("quantize", "")) == "int8"
         self.converter = create_converter(self.config)
         self.config["num_class"] = self.converter.num_classes
         self.model = build_model(self.config, self.converter.num_classes)
@@ -200,7 +204,16 @@ class MathRecognition:
                 batch = np.concatenate(
                     [batch, np.repeat(batch[:1], padded_n - n, axis=0)]
                 )
-            tokens, _ = decode(self.variables, batch)
+            if self.quantize:
+                # trace-time context: first call per (bucket, batch) shape
+                # traces through the int8 path; steady-state calls just
+                # reuse the compiled program
+                from ..ops.quant import quantized_inference
+
+                with quantized_inference():
+                    tokens, _ = decode(self.variables, batch)
+            else:
+                tokens, _ = decode(self.variables, batch)
             for row, i in zip(np.asarray(tokens)[:n], idxs):
                 toks = self.converter.detokenize(row[None])[0]
                 results[i] = postprocess_prediction(sep.join(toks))

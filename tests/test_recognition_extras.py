@@ -65,6 +65,27 @@ class TestRecognitionFlow:
         outs = rec([crop, crop[:20, :40]])
         assert isinstance(outs, list) and len(outs) == 2
 
+    def test_quantized_flow_runs_and_matches(self, monkeypatch):
+        # `quantize: int8` config opt-in (ops/quant.py); gates disabled so
+        # the tiny model actually takes the int8 path
+        import doc2tex_tpu.ops.quant as quant
+        from doc2tex_tpu.recognition import MathRecognition
+
+        monkeypatch.setattr(quant, "MIN_CONTRACT", 1)
+        monkeypatch.setattr(quant, "MIN_OUT", 1)
+        cfg = tiny_recog_config()
+        crop = np.full((40, 90), 255, np.uint8)
+        crop[10:30, 10:80] = 0
+        base = MathRecognition(config=cfg)(crop)
+        qcfg = tiny_recog_config()
+        qcfg["quantize"] = "int8"
+        rec_q = MathRecognition(config=qcfg)
+        assert rec_q.quantize
+        out = rec_q(crop)
+        assert isinstance(out, str)
+        # random tiny model: both decode degenerately -> strings equal
+        assert out == base
+
     def test_postprocess(self):
         from doc2tex_tpu.recognition.flow import postprocess_prediction
 
