@@ -44,7 +44,8 @@ CURVE_PATH = os.path.join(
 )
 
 
-def build(steps: int, hard: bool = False, attn: str = "coverage"):
+def build(steps: int, hard: bool = False, attn: str = "coverage",
+          gcb: bool = False):
     try:  # persistent compile cache: restarts skip the ~2-4 min/bucket
         import jax as _jax  # remote grad compiles (measured 90s at 64x64)
 
@@ -67,7 +68,7 @@ def build(steps: int, hard: bool = False, attn: str = "coverage"):
         FeatureExtraction={"name": "None"},
         SequenceModeling={"name": "ViT", "params": {
             "backbone": {"name": "resnet", "input_channel": 1,
-                         "output_channel": 128, "gcb": False},
+                         "output_channel": 128, "gcb": gcb},
             "fix_embed": True, "input_channel": 1, "patching_style": "2d",
             "patch_size": [2, 2], "depth": 3, "num_heads": 4,
             "hidden_size": 128}},
@@ -104,18 +105,23 @@ def main() -> None:
     ap.add_argument("--attn", default="coverage",
                     choices=["coverage", "loc_aware", "bahdanau"],
                     help="decoder attention variant (A/B arm)")
+    ap.add_argument("--gcb", action="store_true",
+                    help="GlobalContext blocks in the ResNet stages "
+                    "(reference visual_attention.py GCB; A/B arm)")
     args = ap.parse_args()
 
     global CKPT_DIR, CURVE_PATH
     tag = ""
     if args.hard:
         tag = "hard" + ("" if args.attn == "coverage" else "_" + args.attn)
+        if args.gcb:
+            tag += "_gcb"
         CKPT_DIR = f"/tmp/{tag}_soak"
         CURVE_PATH = os.path.join(
             os.path.dirname(os.path.abspath(__file__)), f"{tag}_curve.jsonl"
         )
 
-    cfg = build(args.steps, hard=args.hard, attn=args.attn)
+    cfg = build(args.steps, hard=args.hard, attn=args.attn, gcb=args.gcb)
     if args.hard:
         from doc2tex_tpu.data.synthetic import hard_vocab, synth_hard_dataset
 
