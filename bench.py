@@ -49,8 +49,12 @@ def main() -> None:
     # int8 encoder (ops/quant.py) is the DEFAULT headline path: measured
     # +27% same-session over bf16 at ZERO exact-match cost on the trained
     # demo weights (tools/int8_accuracy_eval.py: EM 0.725 both modes).
-    # --bf16 runs the unquantized path for comparison.
+    # --bf16 runs the unquantized path; --int8-full also stores the decode
+    # attention memory int8 (halves the dominant decode HBM reads).
     int8 = "--bf16" not in sys.argv
+    quant_parts = (
+        ("encoder", "decoder_mem") if "--int8-full" in sys.argv else ("encoder",)
+    )
     import jax
 
     # persistent compile cache: repeat bench runs skip the 30-200s XLA
@@ -107,7 +111,7 @@ def main() -> None:
         # makes every encoder Dense/Conv trace through the int8 MXU path
         from doc2tex_tpu.ops.quant import quantized_inference
 
-        ctx = quantized_inference()
+        ctx = quantized_inference(parts=quant_parts)
         ctx.__enter__()
     t0 = time.perf_counter()
     run_once(batch)
@@ -149,7 +153,10 @@ def main() -> None:
 
     metric = "IM2LATEX-synth images/sec/chip, beam=5, 64x320, max_len=150"
     if int8:
-        metric += ", int8 encoder"
+        metric += (
+            ", int8 encoder+decode-mem" if "decoder_mem" in quant_parts
+            else ", int8 encoder"
+        )
     print(
         json.dumps(
             {

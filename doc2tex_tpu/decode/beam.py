@@ -54,8 +54,10 @@ def make_gather_fn(static_fields: tuple[str, ...] = ()) -> Callable:
     return gather
 
 
-# Beam-invariant fields for the two built-in heads.
-LSTM_STATIC = ("enc", "enc_proj")
+# Beam-invariant fields for the two built-in heads (the int8 memory
+# scales are per-sample, identical across beams — and the bf16 path
+# carries (0,)-shaped placeholders that must not be reshaped).
+LSTM_STATIC = ("enc", "enc_proj", "enc_scale", "proj_scale")
 TFM_STATIC = ("k_mem", "v_mem", "t")
 
 

@@ -34,7 +34,14 @@ Dtype = Any
 
 
 class DecoderState(NamedTuple):
-    """Per-sequence decode state carried across steps (all leading dim B)."""
+    """Per-sequence decode state carried across steps (all leading dim B).
+
+    When traced under ``quantized_inference(parts=(..., 'decoder_mem'))``
+    the attention memory (enc / enc_proj) is stored int8 with per-sample
+    scales — halving the HBM reads that dominate each decode step; the
+    consumers in ``step`` dequantize inline (detected by dtype, so the
+    step trace is self-describing).  Outside the context the scales are
+    size-1 placeholders and the bf16 path is bit-identical to before."""
 
     h: jax.Array          # (B, H) f32
     c: jax.Array          # (B, H) f32
@@ -42,6 +49,8 @@ class DecoderState(NamedTuple):
     alpha_prev: jax.Array  # (B, S) f32 — last alignment (loc_aware memory)
     enc: jax.Array        # (B, S, D) — encoder states (attention values)
     enc_proj: jax.Array   # (B, S, H) — precomputed key projection
+    enc_scale: jax.Array   # (B, 1, 1) f32 — int8 scale (or (0,) placeholder)
+    proj_scale: jax.Array  # (B, 1, 1) f32 — int8 scale (or (0,) placeholder)
 
 
 def _lstm_cell(params, x, h, c):
@@ -165,7 +174,16 @@ class LSTMAttentionDecoder(nn.Module):
                 enc @ self.w_key.astype(self.dtype) + self.b_key
             ).astype(self.dtype)
         zeros = jnp.zeros((B, S), jnp.float32)
-        return DecoderState(h, c, zeros, zeros, enc, enc_proj)
+        from ..ops.quant import quant_part_active, quantize_memory
+
+        if quant_part_active("decoder_mem") and self.attn_type != "luong":
+            enc, enc_scale = quantize_memory(enc)
+            enc_proj, proj_scale = quantize_memory(enc_proj)
+        else:
+            enc_scale = jnp.zeros((0,), jnp.float32)   # placeholder
+            proj_scale = jnp.zeros((0,), jnp.float32)
+        return DecoderState(h, c, zeros, zeros, enc, enc_proj,
+                            enc_scale, proj_scale)
 
     def step(
         self, state: DecoderState, tokens, deterministic: bool = True
@@ -206,13 +224,28 @@ class LSTMAttentionDecoder(nn.Module):
         else:
             loc = 0.0
 
+        # int8 attention memory (ops/quant.py decoder_mem): dequant inline —
+        # the int8 HBM read is the win; the convert fuses into the consumers
+        qmem = state.enc_proj.dtype == jnp.int8
+        if qmem:
+            proj = state.enc_proj.astype(self.dtype) * state.proj_scale.astype(
+                self.dtype
+            )
+        else:
+            proj = state.enc_proj
         q = (state.h @ self.w_query + self.b_query)[:, None, :]
-        e = jnp.tanh(state.enc_proj + q + loc) @ self.w_score + self.b_score  # (B,S,1)
+        e = jnp.tanh(proj + q + loc) @ self.w_score + self.b_score  # (B,S,1)
         alpha = jnp.asarray(jax.nn.softmax(e[..., 0], axis=-1))  # (B, S)
         # capturable alignment for attention-overlay viz (reference packs
         # alpha into addition_outputs, build_model.py:65-77)
         self.sow("intermediates", "alpha", alpha)
-        context = jnp.einsum("bs,bsd->bd", alpha, state.enc)
+        if qmem:
+            context = (
+                jnp.einsum("bs,bsd->bd", alpha, state.enc.astype(self.dtype))
+                * state.enc_scale[..., 0]
+            )
+        else:
+            context = jnp.einsum("bs,bsd->bd", alpha, state.enc)
 
         x = jnp.concatenate([context, emb], axis=-1)
         h_new, c_new = _lstm_cell(self.lstm, x, state.h, state.c)

@@ -44,17 +44,28 @@ _QUANT_STACK: list = []
 
 
 class quantized_inference:
-    """Context manager: encoder Dense/Conv layers traced inside it run
-    int8 dynamic-quantized matmuls/convs.  Trace-time only — wrap the
-    ``jax.jit`` trace (first call), not the steady-state calls."""
+    """Context manager: model parts traced inside it run int8
+    dynamic-quantized.  Trace-time only — wrap the ``jax.jit`` trace
+    (first call), not the steady-state calls.
 
-    def __init__(self, mode: str = "int8"):
+    ``parts``:
+      - "encoder": Dense/Conv matmuls/convs go int8 on the MXU (shape-gated)
+      - "decoder_mem": the LSTM-attention decoder's attention memory
+        (enc / enc_proj in ``DecoderState``) is stored int8, halving the
+        dominant decode-step HBM traffic; dequant fuses into the consumers
+    """
+
+    def __init__(self, mode: str = "int8", parts=("encoder",)):
         if mode not in ("int8",):
             raise ValueError(f"unknown quant mode {mode!r}")
+        bad = set(parts) - {"encoder", "decoder_mem"}
+        if bad:
+            raise ValueError(f"unknown quant parts {sorted(bad)}")
         self.mode = mode
+        self.parts = frozenset(parts)
 
     def __enter__(self):
-        _QUANT_STACK.append(self.mode)
+        _QUANT_STACK.append((self.mode, self.parts))
         return self
 
     def __exit__(self, *exc):
@@ -63,7 +74,13 @@ class quantized_inference:
 
 
 def active_quant_mode() -> Optional[str]:
-    return _QUANT_STACK[-1] if _QUANT_STACK else None
+    return _QUANT_STACK[-1][0] if _QUANT_STACK else None
+
+
+def quant_part_active(part: str) -> bool:
+    """True when a quantized_inference() context covering ``part`` is
+    active at trace time."""
+    return bool(_QUANT_STACK) and part in _QUANT_STACK[-1][1]
 
 
 def _quantize(x: jax.Array, axes) -> tuple[jax.Array, jax.Array]:
@@ -151,11 +168,28 @@ def int8_conv_general_dilated(lhs, rhs, window_strides, padding,
 
 def maybe_dot_general():
     """For ``nn.Dense(dot_general=...)`` call sites: the quantized op when
-    a quantized_inference() context is active at trace time, else None
-    (flax falls through to lax.dot_general)."""
-    return int8_dot_general if active_quant_mode() == "int8" else None
+    a quantized_inference() context covering the encoder is active at
+    trace time, else None (flax falls through to lax.dot_general)."""
+    return int8_dot_general if quant_part_active("encoder") else None
 
 
 def maybe_conv_general():
     """For ``nn.Conv(conv_general_dilated=...)`` call sites."""
-    return int8_conv_general_dilated if active_quant_mode() == "int8" else None
+    return int8_conv_general_dilated if quant_part_active("encoder") else None
+
+
+# ------------------------------------------------------- decoder memory
+def quantize_memory(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Per-sample int8 quantization of a (B, S, D) attention memory.
+
+    Returns (int8 values, f32 scale (B, 1, 1)).  Storing the decode-step
+    attention memory int8 halves the reads that dominate decode HBM
+    traffic (see decoder_lstm.init_state); the consumer dequantizes via
+    ``dequantize_memory`` and XLA fuses the convert into the tanh/einsum.
+    """
+    q, scale = _quantize(x, axes=tuple(range(1, x.ndim)))
+    return q, scale
+
+
+def dequantize_memory(q: jax.Array, scale: jax.Array) -> jax.Array:
+    return q.astype(jnp.float32) * scale

@@ -115,3 +115,55 @@ class TestQuantEncoder:
         # context off again -> bit-identical to the baseline trace
         enc_off = model.apply(variables, img, method=model.encode)
         np.testing.assert_array_equal(np.asarray(enc_ref), np.asarray(enc_off))
+
+
+class TestQuantDecoderMemory:
+    def test_beam_decode_with_int8_memory(self):
+        # decoder_mem part: attention memory stored int8 (DecoderState
+        # enc/enc_proj + per-sample scales); beam decode must run through
+        # the gather path and produce tokens close to the bf16 result
+        from doc2tex_tpu.decode.runner import make_decode_fn
+        from doc2tex_tpu.models import build_model
+        from tests.test_models import tiny_vit_config
+
+        cfg = tiny_vit_config()
+        cfg["beam_size"] = 3
+        model = build_model(cfg, 20)
+        img = jax.random.normal(jax.random.PRNGKey(3), (2, 32, 64, 1), jnp.float32)
+        variables = model.init(
+            jax.random.PRNGKey(0), img, jnp.zeros((2, 4), jnp.int32)
+        )
+        decode = make_decode_fn(model, cfg, beam_size=3, max_steps=10)
+        tok_ref, _ = decode(variables, img)
+
+        with quantized_inference(parts=("decoder_mem",)):
+            decode_q = make_decode_fn(model, cfg, beam_size=3, max_steps=10)
+            tok_q, _ = decode_q(variables, img)
+        assert tok_q.shape == tok_ref.shape
+        # untrained tiny model decodes degenerately -> identical tokens;
+        # the real assertion is the quantized trace runs end-to-end
+        assert (np.asarray(tok_q) == np.asarray(tok_ref)).mean() > 0.9
+
+    def test_bf16_state_has_placeholder_scales(self):
+        from doc2tex_tpu.models import build_model
+        from tests.test_models import tiny_vit_config
+
+        cfg = tiny_vit_config()
+        model = build_model(cfg, 20)
+        img = jnp.zeros((1, 32, 64, 1), jnp.float32)
+        variables = model.init(
+            jax.random.PRNGKey(0), img, jnp.zeros((1, 4), jnp.int32)
+        )
+        enc = model.apply(variables, img, method=model.encode)
+        state = model.apply(
+            variables, enc, 10, method=model.init_decode_state
+        )
+        assert state.enc_scale.shape == (0,)
+        assert state.enc.dtype != jnp.int8
+        with quantized_inference(parts=("decoder_mem",)):
+            state_q = model.apply(
+                variables, enc, 10, method=model.init_decode_state
+            )
+        assert state_q.enc.dtype == jnp.int8
+        assert state_q.enc_proj.dtype == jnp.int8
+        assert state_q.enc_scale.shape[0] == enc.shape[0]

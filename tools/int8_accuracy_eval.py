@@ -41,7 +41,8 @@ def main() -> None:
         ),
     )
     ap.add_argument("--modes", default="bf16,int8",
-                    help="comma list of bf16/int8 passes to run")
+                    help="comma list of bf16/int8/int8_full passes to run "
+                    "(int8_full = encoder + int8 decode attention memory)")
     args = ap.parse_args()
 
     from doc2tex_tpu.data.loader import ArrayDataset, BucketLoader
@@ -79,7 +80,12 @@ def main() -> None:
 
     rows = {}
     for mode in args.modes.split(","):
-        ctx = quantized_inference() if mode == "int8" else None
+        if mode == "int8":
+            ctx = quantized_inference()
+        elif mode == "int8_full":
+            ctx = quantized_inference(parts=("encoder", "decoder_mem"))
+        else:
+            ctx = None
         if ctx:
             ctx.__enter__()
         try:
