@@ -136,12 +136,17 @@ def run_infer(config, dataset, log_path: str | None = None) -> dict:
     beam = int(config.get("beam_size", 1))
     # `quantize: int8` (config or --int8): trace decode through the int8
     # encoder path (ops/quant.py) — measured zero exact-match cost on the
-    # released weights, +27% headline throughput (BASELINE.md)
+    # released weights, +27% headline throughput (BASELINE.md).
+    # `int8_full` additionally stores the decode attention memory int8.
     quant_ctx = None
-    if str(config.get("quantize", "")) == "int8":
+    quant_parts = {
+        "int8": ("encoder",),
+        "int8_full": ("encoder", "decoder_mem"),
+    }.get(str(config.get("quantize", "")))
+    if quant_parts:
         from doc2tex_tpu.ops.quant import quantized_inference
 
-        quant_ctx = quantized_inference()
+        quant_ctx = quantized_inference(parts=quant_parts)
         quant_ctx.__enter__()
     t0 = time.time()
     try:
@@ -199,6 +204,11 @@ def main() -> None:
         "measured on the released weights, +27% throughput",
     )
     parser.add_argument(
+        "--int8-full", action="store_true", default=False,
+        help="--int8 plus int8 decode attention memory (halves decode-step "
+        "HBM reads); equivalent to `quantize: int8_full` in the config",
+    )
+    parser.add_argument(
         "--platform", default=None, choices=["cpu", "tpu", "axon"],
         help="force a jax platform (env JAX_PLATFORMS may be pinned; "
         "jax.config.update works post-import)",
@@ -221,6 +231,8 @@ def main() -> None:
         config["dtype"] = "bfloat16"
     if args.int8:
         config["quantize"] = "int8"
+    if args.int8_full:
+        config["quantize"] = "int8_full"
     if args.num_workers >= 0:
         config["prefetch"] = args.num_workers
 

@@ -204,14 +204,18 @@ def gate_main() -> None:
     quick = "--quick" in sys.argv
     hard_vocab_mode = "--hard-vocab" in sys.argv
     demo_mode = "--demo" in sys.argv
-    int8 = "--int8" in sys.argv  # opt-in here (headline bench defaults on)
+    # opt-in here (headline bench defaults on); --int8-full additionally
+    # stores the decode attention memory int8
+    int8_full = "--int8-full" in sys.argv
+    int8 = int8_full or "--int8" in sys.argv
     import jax
     import jax.numpy as jnp
 
     if int8:
         from doc2tex_tpu.ops.quant import quantized_inference
 
-        quantized_inference().__enter__()  # trace-time; held for the process
+        parts = ("encoder", "decoder_mem") if int8_full else ("encoder",)
+        quantized_inference(parts=parts).__enter__()  # trace-time; held for the process
 
     try:
         jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
@@ -367,7 +371,7 @@ def gate_main() -> None:
     for r in rows:
         print(json.dumps(r), file=sys.stderr)
     if int8:
-        workload += ", int8 encoder"
+        workload += ", int8 encoder+decode-mem" if int8_full else ", int8 encoder"
     result = {
         "metric": f"{workload} images/sec/chip",
         "value": round(agg_ips, 3),

@@ -121,10 +121,16 @@ class MathRecognition:
         if use_clahe is None:
             use_clahe = bool(self.config.get("clahe", True))
         self.use_clahe = use_clahe
-        # opt-in int8 encoder (ops/quant.py): `quantize: int8` in the model
-        # version block — measured zero exact-match cost on the `synthetic`
-        # release weights, +27% on the headline bench (BASELINE.md)
-        self.quantize = str(self.config.get("quantize", "")) == "int8"
+        # opt-in int8 inference (ops/quant.py): `quantize: int8` in the
+        # model version block quantizes the encoder (measured zero
+        # exact-match cost on the `synthetic` release weights, +27% on the
+        # headline bench — BASELINE.md); `quantize: int8_full` additionally
+        # stores the decode attention memory int8 (halves decode-step HBM
+        # reads).
+        self.quant_parts = {
+            "int8": ("encoder",),
+            "int8_full": ("encoder", "decoder_mem"),
+        }.get(str(self.config.get("quantize", "")))
         self.converter = create_converter(self.config)
         self.config["num_class"] = self.converter.num_classes
         self.model = build_model(self.config, self.converter.num_classes)
@@ -204,13 +210,13 @@ class MathRecognition:
                 batch = np.concatenate(
                     [batch, np.repeat(batch[:1], padded_n - n, axis=0)]
                 )
-            if self.quantize:
+            if self.quant_parts:
                 # trace-time context: first call per (bucket, batch) shape
                 # traces through the int8 path; steady-state calls just
                 # reuse the compiled program
                 from ..ops.quant import quantized_inference
 
-                with quantized_inference():
+                with quantized_inference(parts=self.quant_parts):
                     tokens, _ = decode(self.variables, batch)
             else:
                 tokens, _ = decode(self.variables, batch)

@@ -80,11 +80,17 @@ class TestRecognitionFlow:
         qcfg = tiny_recog_config()
         qcfg["quantize"] = "int8"
         rec_q = MathRecognition(config=qcfg)
-        assert rec_q.quantize
+        assert rec_q.quant_parts == ("encoder",)
         out = rec_q(crop)
         assert isinstance(out, str)
         # random tiny model: both decode degenerately -> strings equal
         assert out == base
+        # int8_full also stores the decode attention memory int8
+        fcfg = tiny_recog_config()
+        fcfg["quantize"] = "int8_full"
+        rec_f = MathRecognition(config=fcfg)
+        assert rec_f.quant_parts == ("encoder", "decoder_mem")
+        assert rec_f(crop) == base
 
     def test_postprocess(self):
         from doc2tex_tpu.recognition.flow import postprocess_prediction
