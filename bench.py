@@ -69,12 +69,27 @@ def main() -> None:
     from doc2tex_tpu.data.synthetic import synth_sample
     from doc2tex_tpu.decode.runner import make_decode_fn
     from doc2tex_tpu.models import build_model
-    from doc2tex_tpu.tokenizer.converters import AttnLabelConverter
+    from doc2tex_tpu.tokenizer.converters import (
+        AttnLabelConverter,
+        TFMLabelConverter,
+    )
     from doc2tex_tpu.train.trainer import init_model, param_count
 
     cfg = _flagship_config(tiny=False)
     cfg["batch_max_length"] = BENCH_MAX_LEN
-    conv = AttnLabelConverter(cfg["character"])
+    # --tfm swaps the coverage-LSTM head for the Transformer decoder head
+    # (same encoder; reference TransformerPrediction family, tfm.py:35-195)
+    # at flagship scale — the second decode family's throughput row
+    tfm = "--tfm" in sys.argv
+    if tfm:
+        cfg["Prediction"] = {
+            "name": "TFM",
+            "params": {
+                "d_model": 256, "nhead": 8, "num_decoder_layers": 3,
+                "dim_feedforward": 1024, "dropout": 0.1,
+            },
+        }
+    conv = (TFMLabelConverter if tfm else AttnLabelConverter)(cfg["character"])
     model = build_model(cfg, conv.num_classes)
 
     params, batch_stats = init_model(
@@ -152,6 +167,8 @@ def main() -> None:
             baseline = json.load(f)["results"][f"beam{BENCH_BEAM}"]["images_per_sec"]
 
     metric = "IM2LATEX-synth images/sec/chip, beam=5, 64x320, max_len=150"
+    if tfm:
+        metric += ", TFM decoder"
     if int8:
         metric += (
             ", int8 encoder+decode-mem" if "decoder_mem" in quant_parts
