@@ -161,7 +161,12 @@ def main() -> None:
     ips = BATCH / dt
 
     baseline = FALLBACK_BASELINE_IPS
-    path = os.path.join(os.path.dirname(__file__), "tools", "baseline_measured.json")
+    name = "baseline_measured_tfm.json" if tfm else "baseline_measured.json"
+    path = os.path.join(os.path.dirname(__file__), "tools", name)
+    if tfm and not os.path.exists(path):  # tfm denominator not yet measured
+        path = os.path.join(
+            os.path.dirname(__file__), "tools", "baseline_measured.json"
+        )
     if os.path.exists(path):
         with open(path) as f:
             baseline = json.load(f)["results"][f"beam{BENCH_BEAM}"]["images_per_sec"]

@@ -161,6 +161,8 @@ def train(config, log_dir: str = "saved_models/run") -> dict:
             f"sharded training over {n_data}x{n_model} (data x model) devices"
         )
 
+    go_id = type(b.converter).START()
+
     def place_batch(images, text):
         if mesh is None:
             return jnp.asarray(images), jnp.asarray(text)
@@ -171,7 +173,11 @@ def train(config, log_dir: str = "saved_models/run") -> dict:
             pad = n_data - nb % n_data
             images = np.pad(images, ((0, pad), (0, 0), (0, 0), (0, 0)),
                             constant_values=255)
-            text = np.pad(text, ((0, pad), (0, 0)))  # pad rows: loss-masked
+            # pad rows are loss-masked (targets all PAD), but lead with [GO]
+            # so the TFM family's key-padding mask never sees an all-PAD row
+            # (GO==PAD==0 for the Attn family, so this is a no-op there)
+            text = np.pad(text, ((0, pad), (0, 0)))
+            text[nb:, 0] = go_id
         return shard_batch(images, mesh), shard_batch(text, mesh)
     rng = jax.random.PRNGKey(config.get("manualSeed", 1111) + 1)
     num_iter = config["num_iter"]

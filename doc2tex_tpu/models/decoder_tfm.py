@@ -139,9 +139,14 @@ class TransformerDecoder(nn.Module):
         x = self._embed(tgt_ids)
         causal = jnp.tril(jnp.ones((T, T), bool))[None, None]  # (1,1,T,T)
         if train:
-            # padding mask (reference masks pads only in training, tfm.py:88-91)
+            # padding mask (reference masks pads only in training, tfm.py:88-91).
+            # Key 0 stays visible unconditionally: real rows carry [GO] there
+            # (never PAD), and all-PAD filler rows — e.g. data-axis batch
+            # padding — would otherwise softmax over an all -inf row -> NaN
+            # that poisons the whole batch's loss through the masked mean.
             not_pad = (tgt_ids != self.padding_idx)[:, None, None, :]
-            mask = causal & not_pad
+            first = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, T), 3) == 0
+            mask = causal & (not_pad | first)
         else:
             mask = causal
         mem = memory.astype(self.dtype)

@@ -193,6 +193,23 @@ class TestEngine:
         assert (tmp_path / "run" / "last_checkpoint.msgpack").exists()
         assert (tmp_path / "run" / "summary.csv").exists()
 
+    def test_sanity_check_train_tfm_family(self, tmp_path):
+        """The second decoder family (reference TransformerPrediction,
+        tfm.py:35-195) trains through the SAME engine path: create_converter
+        picks TFMLabelConverter (PAD=0/GO=1/[s]=2), the shifted-target loss
+        masks PAD, and validation decodes with the KV-cache beam."""
+        from doc2tex_tpu.engine import train
+
+        cfg = small_config(
+            sanity_check=True,
+            Prediction={"name": "TFM", "params": {
+                "d_model": 64, "nhead": 4, "num_decoder_layers": 2,
+                "dim_feedforward": 128, "dropout": 0.1}},
+        )
+        metrics = train(cfg, str(tmp_path / "run_tfm"))
+        assert np.isfinite(metrics["loss"])
+        assert (tmp_path / "run_tfm" / "last_checkpoint.msgpack").exists()
+
     def test_resume(self, tmp_path):
         from doc2tex_tpu.engine import init_training, train
 

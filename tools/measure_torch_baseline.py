@@ -31,18 +31,24 @@ N_WARMUP = 1
 
 
 def main() -> None:
+    # --tfm: the reference's second decoder family (TransformerPrediction,
+    # doc2tex/modules/component/prediction_head/tfm.py:36-195) at the same
+    # flagship encoder — the denominator for bench.py --tfm's vs_baseline.
+    tfm = "--tfm" in sys.argv
     sys.path.insert(0, REFERENCE)
     import torch
 
     from doc2tex.modules.build_model import Model
     from doc2tex.modules.converter.attn_converter import AttnLabelConverter
+    from doc2tex.modules.converter.tfm_converter import TFMLabelConverter
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from doc2tex_tpu.data.synthetic import SYNTH_VOCAB, synth_sample
 
     torch.set_num_threads(os.cpu_count() or 8)
     device = torch.device("cpu")
-    converter = AttnLabelConverter(SYNTH_VOCAB, device)
+    conv_cls = TFMLabelConverter if tfm else AttnLabelConverter
+    converter = conv_cls(SYNTH_VOCAB, device)
 
     config = {
         "imgH": None,
@@ -71,22 +77,38 @@ def main() -> None:
                 "hidden_size": 256,
             },
         },
-        "Prediction": {
-            "name": "Attnv2",
-            "params": {
-                "seqmodel": "TFM",
-                "input_size": 256,
-                "hidden_size": 256,
-                "kernel_size": 2,
-                "kernel_dim": 128,
-                "embed_target": True,
-                "enc_init": True,
-                "attn_type": "coverage",
-                "method": "concat",
-                "teacher_forcing": 1.0,
-                "droprate": 0.2,
-            },
-        },
+        "Prediction": (
+            {
+                # mirror bench.py --tfm (flagship-scale TFM head)
+                "name": "TFM",
+                "params": {
+                    "d_model": 256,
+                    "nhead": 8,
+                    "num_decoder_layers": 3,
+                    "dim_feedforward": 1024,
+                    "dropout": 0.1,
+                    "max_seq_len": BENCH_MAX_LEN + 2,
+                    "padding_idx": 0,
+                },
+            }
+            if tfm
+            else {
+                "name": "Attnv2",
+                "params": {
+                    "seqmodel": "TFM",
+                    "input_size": 256,
+                    "hidden_size": 256,
+                    "kernel_size": 2,
+                    "kernel_dim": 128,
+                    "embed_target": True,
+                    "enc_init": True,
+                    "attn_type": "coverage",
+                    "method": "concat",
+                    "teacher_forcing": 1.0,
+                    "droprate": 0.2,
+                },
+            }
+        ),
         "num_class": len(converter.character),
         "device": device,
         "beam_size": BENCH_BEAM,
@@ -110,9 +132,16 @@ def main() -> None:
         x = (arr.astype(np.float32) / 255.0 - 0.5) / 0.5
         images.append(torch.from_numpy(x[None, None]))
 
-    text_for_pred = torch.zeros(
-        (1, BENCH_MAX_LEN + 2), dtype=torch.long, device=device
-    )
+    if tfm:
+        # reference TFM eval contract: (batch, 1) filled with [GO]
+        # (api/infer.py:149-153); greedy appends to this prefix
+        text_for_pred = torch.full(
+            (1, 1), converter.dict["[GO]"], dtype=torch.long, device=device
+        )
+    else:
+        text_for_pred = torch.zeros(
+            (1, BENCH_MAX_LEN + 2), dtype=torch.long, device=device
+        )
 
     results = {}
     for mode, beam in (("greedy", 1), (f"beam{BENCH_BEAM}", BENCH_BEAM)):
@@ -133,13 +162,18 @@ def main() -> None:
             "image_hw": [BENCH_H, BENCH_W],
             "max_len": BENCH_MAX_LEN,
             "beam": BENCH_BEAM,
-            "model": "hybrid-vit-256x6 + Attnv2 coverage (test.yaml arch)",
+            "model": (
+                "hybrid-vit-256x6 + TFM decoder (256/8h/3L/ffn1024)"
+                if tfm
+                else "hybrid-vit-256x6 + Attnv2 coverage (test.yaml arch)"
+            ),
             "weights": "random (full-length decode both sides)",
             "hardware": f"cpu x{os.cpu_count()} threads",
         },
         "results": results,
     }
-    with open(OUT, "w") as f:
+    out = OUT.replace(".json", "_tfm.json") if tfm else OUT
+    with open(out, "w") as f:
         json.dump(payload, f, indent=2)
     print(json.dumps(payload))
 

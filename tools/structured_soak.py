@@ -45,7 +45,7 @@ CURVE_PATH = os.path.join(
 
 
 def build(steps: int, hard: bool = False, attn: str = "coverage",
-          gcb: bool = False):
+          gcb: bool = False, family: str = "attn"):
     try:  # persistent compile cache: restarts skip the ~2-4 min/bucket
         import jax as _jax  # remote grad compiles (measured 90s at 64x64)
 
@@ -72,10 +72,20 @@ def build(steps: int, hard: bool = False, attn: str = "coverage",
             "fix_embed": True, "input_channel": 1, "patching_style": "2d",
             "patch_size": [2, 2], "depth": 3, "num_heads": 4,
             "hidden_size": 128}},
-        Prediction={"name": "Attnv2", "params": {
-            "seqmodel": "TFM", "input_size": 128, "hidden_size": 128,
-            "kernel_size": 2, "kernel_dim": 64, "embed_target": True,
-            "enc_init": True, "attn_type": attn, "droprate": 0.1}},
+        # --family tfm: the reference's second decoder family
+        # (TransformerPrediction, tfm.py:35-195) sized to match the attn
+        # arm's parameter budget at d_model 128 — the A/B compares decoder
+        # families under identical data/encoder/schedule
+        Prediction=(
+            {"name": "TFM", "params": {
+                "d_model": 128, "nhead": 4, "num_decoder_layers": 3,
+                "dim_feedforward": 512, "dropout": 0.1}}
+            if family == "tfm" else
+            {"name": "Attnv2", "params": {
+                "seqmodel": "TFM", "input_size": 128, "hidden_size": 128,
+                "kernel_size": 2, "kernel_dim": 64, "embed_target": True,
+                "enc_init": True, "attn_type": attn, "droprate": 0.1}}
+        ),
         criterion={"name": "entropy"},
         optimizer={"opt": "adamw", "lr": 0.001, "weight_decay": 0.000002},
         # schedule epochs derive from valInterval; keep it below the run
@@ -108,12 +118,17 @@ def main() -> None:
     ap.add_argument("--gcb", action="store_true",
                     help="GlobalContext blocks in the ResNet stages "
                     "(reference visual_attention.py GCB; A/B arm)")
+    ap.add_argument("--family", default="attn", choices=["attn", "tfm"],
+                    help="decoder family: coverage-LSTM (Attnv2) or the "
+                    "Transformer decoder head (reference tfm.py; A/B arm)")
     args = ap.parse_args()
 
     global CKPT_DIR, CURVE_PATH
     tag = ""
     if args.hard:
         tag = "hard" + ("" if args.attn == "coverage" else "_" + args.attn)
+        if args.family == "tfm":
+            tag = "hard_tfm"
         if args.gcb:
             tag += "_gcb"
         CKPT_DIR = f"/tmp/{tag}_soak"
@@ -121,7 +136,8 @@ def main() -> None:
             os.path.dirname(os.path.abspath(__file__)), f"{tag}_curve.jsonl"
         )
 
-    cfg = build(args.steps, hard=args.hard, attn=args.attn, gcb=args.gcb)
+    cfg = build(args.steps, hard=args.hard, attn=args.attn, gcb=args.gcb,
+                family=args.family)
     if args.hard:
         from doc2tex_tpu.data.synthetic import hard_vocab, synth_hard_dataset
 
@@ -135,7 +151,12 @@ def main() -> None:
         gen, vocab = synth_structured_dataset, SYNTH_VOCAB
     tr_images, tr_labels = gen(args.n_train, seed=31, **kw)
     ev_images, ev_labels = gen(args.n_eval, seed=32, **kw)
-    conv = AttnLabelConverter(vocab)
+    if args.family == "tfm":
+        from doc2tex_tpu.tokenizer.converters import TFMLabelConverter
+
+        conv = TFMLabelConverter(vocab)  # PAD=0, GO=1, [s]=2 id scheme
+    else:
+        conv = AttnLabelConverter(vocab)
     loader = BucketLoader(ArrayDataset(tr_images, tr_labels), conv, cfg, train=True)
     print(f"train {loader.num_samples} samples / {len(loader.table)} buckets; "
           f"vocab {conv.num_classes}", flush=True)
