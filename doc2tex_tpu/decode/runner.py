@@ -85,9 +85,11 @@ def make_decode_fn(
                 start_token=ids.start, end_token=ids.end, pad_token=ids.pad,
             )
 
-        enc_k = jnp.repeat(enc, beam_size, axis=0)  # (B*K, S, D)
+        # enc stays UNexpanded: init_decode_state allocates per-beam leaves
+        # at B*K rows while the attention memory is shared at B rows, so
+        # each decode step reads it once per sample instead of once per beam
         state = model.apply(
-            variables, enc_k, max_steps, method="init_decode_state"
+            variables, enc, max_steps, beam_size, method="init_decode_state"
         )
         return beam_decode(
             step, state, gather, B, beam_size, max_steps,

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from ..ops.decode_attention import decode_attention
 from .layers import trunc_init, word_posenc
 
 Dtype = Any
@@ -32,12 +33,38 @@ xavier = nn.initializers.xavier_uniform()
 
 
 class TFMState(NamedTuple):
-    """Decode state: KV caches stacked over layers (axis 0)."""
+    """Decode state: KV caches stacked over layers (axis 0).
 
-    k_cache: jax.Array   # (L, B, Tmax, nh, hd)
-    v_cache: jax.Array   # (L, B, Tmax, nh, hd)
-    k_mem: jax.Array     # (L, B, S, nh, hd) — precomputed cross K
+    Beam design (both measured on v5e-1 at batch 256 x beam 5):
+
+    - The cross-attention memory K/V stay at the SHARED batch dim B:
+      beams of one sample attend over identical encoder states, so
+      expanding them K-fold would multiply that per-step HBM read by the
+      beam width.  ``step`` recovers K = (B*K) // B from the leaf shapes
+      and folds the beam axis into the cross-attention query.
+    - The self-attention caches live in FIXED physical slots and are
+      NEVER reordered by the beam shuffle (physically permuting ~600 MB
+      of cache per step was ~8-18 ms/step — 10x the step itself).
+      Instead ``sel`` carries each hypothesis's ancestry as a one-hot
+      slot-selection over (slot, position): ``sel[b, k, j, t'] = 1`` iff
+      the token of hypothesis k's prefix at position t' lives in slot j.
+      Self-attention scores every slot (K x more MXU FLOPs — negligible)
+      and masks by ``sel``; the beam shuffle only permutes ``sel``
+      (~2 MB) instead of the caches.
+    - Cache layout folds the (position, slot) axes into one length-
+      Tmax*K axis, POSITION-major (flat index m = t*K + j), keeping
+      (nh, hd) minor — (L, B, Tmax*K, nh, hd).  Position-major makes the
+      K slot-writes of a step CONTIGUOUS: one dynamic_update_slice per
+      cache per layer.  With slot-major (m = j*Tmax + t) the K strided
+      writes compiled to 30 full-cache update fusions per step —
+      ~9 GB/step of pointless cache rewrite (measured ~9-11 ms/step;
+      this form is ~2 ms)."""
+
+    k_cache: jax.Array   # (L, B, Tmax*K, nh, hd) — fixed physical slots
+    v_cache: jax.Array   # (L, B, Tmax*K, nh, hd)
+    k_mem: jax.Array     # (L, B, S, nh, hd) — precomputed cross K (shared)
     v_mem: jax.Array     # (L, B, S, nh, hd)
+    sel: jax.Array       # (B, K, Tmax, K) — ancestry slot selection
     t: jax.Array         # () int32 — current step
 
 
@@ -196,55 +223,96 @@ class TransformerDecoder(nn.Module):
         )
 
     # ------------------------------------------------------------------
-    def init_state(self, memory, max_steps: int) -> TFMState:
-        """Allocate KV caches and precompute cross-attention K/V."""
+    def init_state(self, memory, max_steps: int, beam_size: int = 1) -> TFMState:
+        """Allocate KV caches and precompute cross-attention K/V.
+
+        ``memory`` is the UNexpanded (B, S, D) encoder output; only the
+        per-beam self-attention caches are allocated at B*beam_size rows
+        (beam layout: sample-major, beams of a sample contiguous)."""
         B, S, _ = memory.shape
         L, nh = self.num_decoder_layers, self.nhead
         hd = self.d_model // nh
         mem = memory.astype(self.dtype)
         k_mem = jnp.stack(
             [self._heads(mem, lp["ca_wk"], lp["ca_bk"]) for lp in self.layers]
-        )
+        ).astype(self.dtype)
         v_mem = jnp.stack(
             [self._heads(mem, lp["ca_wv"], lp["ca_bv"]) for lp in self.layers]
-        )
-        k_cache = jnp.zeros((L, B, max_steps, nh, hd), self.dtype)
-        v_cache = jnp.zeros((L, B, max_steps, nh, hd), self.dtype)
-        return TFMState(k_cache, v_cache, k_mem, v_mem, jnp.int32(0))
+        ).astype(self.dtype)
+        k_cache = jnp.zeros((L, B, max_steps * beam_size, nh, hd), self.dtype)
+        v_cache = jnp.zeros((L, B, max_steps * beam_size, nh, hd), self.dtype)
+        sel = jnp.zeros((B, beam_size, max_steps, beam_size), self.dtype)
+        return TFMState(k_cache, v_cache, k_mem, v_mem, sel, jnp.int32(0))
 
     def step(self, state: TFMState, tokens) -> tuple[TFMState, jax.Array]:
-        """One decode step: tokens (B,) -> (state, logits (B, V))."""
-        B = tokens.shape[0]
+        """One decode step: tokens (B*K,) -> (state, logits (B*K, V))."""
+        BK = tokens.shape[0]
+        Bs = state.k_mem.shape[1]   # shared batch dim of the memory
+        K = BK // Bs                # beam width folded into the rows
+        nh, hd = self.nhead, self.d_model // self.nhead
         t = state.t
         emb = self.word_embed[tokens] * (tokens != self.padding_idx)[..., None]
-        x = (emb * np.sqrt(self.d_model) + self.pos_table[t])[:, None, :]  # (B,1,d)
+        x = (emb * np.sqrt(self.d_model) + self.pos_table[t])[:, None, :]  # (BK,1,d)
 
-        Tmax = state.k_cache.shape[2]
-        # valid-position mask over the cache: positions <= t
-        pos = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, Tmax), 3)
-        mask = pos <= t
+        M = state.k_cache.shape[2]               # Tmax * K positions
+        Tmax = M // K
+        # the slot holding position t is the hypothesis's own: record the
+        # identity row, so after the shuffle permutes sel the entry
+        # becomes one-hot at the parent's slot (the slot that wrote it)
+        eye_row = jnp.broadcast_to(
+            jnp.eye(K, dtype=state.sel.dtype)[None, :, None, :], (Bs, K, 1, K)
+        )
+        sel = jax.lax.dynamic_update_slice(state.sel, eye_row, (0, 0, t, 0))
+        # ancestry mask over flat positions m = t'*K + j: sel one-hot
+        # AND t'<=t, flattened position-major to match the cache fold
+        pos = jax.lax.broadcasted_iota(jnp.int32, (1, 1, Tmax, 1), 2)
+        sel_mask = (sel > 0.5) & (pos <= t)      # (Bs, k_hyp, t', j)
+        sel_mask = sel_mask.reshape(Bs, K, M)    # flat positions m = t'*K+j
 
         k_cache, v_cache = state.k_cache, state.v_cache
+
+        # beam-split head projection: (BK, d) -> (Bs, K, nh, hd)
+        def heads(y, w, b):
+            return (y @ w + b).reshape(Bs, K, self.nhead, hd)
+
         for i, lp in enumerate(self.layers):
-            xq = x.astype(self.dtype)
-            k_new = self._heads(xq, lp["sa_wk"], lp["sa_bk"])[:, 0]  # (B,nh,hd)
-            v_new = self._heads(xq, lp["sa_wv"], lp["sa_bv"])[:, 0]
-            k_cache = k_cache.at[i, :, t].set(k_new)
-            v_cache = v_cache.at[i, :, t].set(v_new)
-            h = _mha(
-                (xq @ lp["sa_wq"] + lp["sa_bq"]).astype(self.dtype),
-                k_cache[i],
-                v_cache[i],
-                self.nhead,
-                mask,
-            ) @ lp["sa_wo"] + lp["sa_bo"]
+            xq = x.astype(self.dtype)[:, 0]      # (BK, d)
+            # new K/V cast to the cache dtype BEFORE the update: an f32
+            # value scattered into a bf16 buffer breaks XLA's in-place
+            # carry update (full-cache copy per step) and is a future error
+            k_new = heads(xq, lp["sa_wk"], lp["sa_bk"]).astype(self.dtype)
+            v_new = heads(xq, lp["sa_wv"], lp["sa_bv"]).astype(self.dtype)
+            # hypothesis in slot j writes flat position t*K + j — the K
+            # slot-writes of a step are CONTIGUOUS: one slice update per
+            # cache (slot-major needed K strided updates, which compiled
+            # to full-cache rewrite fusions — ~9 GB/step)
+            k_cache = jax.lax.dynamic_update_slice(
+                k_cache, k_new[None], (i, 0, t * K, 0, 0)
+            )
+            v_cache = jax.lax.dynamic_update_slice(
+                v_cache, v_new[None], (i, 0, t * K, 0, 0)
+            )
+            # slot attention: score EVERY flat position m (K x FLOPs) and
+            # select the hypothesis's ancestry via the mask — the cache is
+            # read once, never permuted (see ops/decode_attention.py)
+            scale = np.float32(1.0 / np.sqrt(hd))
+            qh = (heads(xq, lp["sa_wq"], lp["sa_bq"]) * scale).astype(
+                self.dtype
+            )
+            ctx = decode_attention(qh, k_cache[i], v_cache[i], sel_mask)
+            ctx = ctx.reshape(BK, 1, self.d_model)
+            h = ctx @ lp["sa_wo"] + lp["sa_bo"]
             x = self._ln(x + h, lp["n1_s"], lp["n1_b"])
-            h = _mha(
-                (x.astype(self.dtype) @ lp["ca_wq"] + lp["ca_bq"]).astype(self.dtype),
-                state.k_mem[i],
-                state.v_mem[i],
-                self.nhead,
-            ) @ lp["ca_wo"] + lp["ca_bo"]
+            # cross-attention against the SHARED memory: fold the beam
+            # axis into the query so K/V are read once per sample, not
+            # once per beam; same kernel, no mask
+            qh = (
+                heads(x.astype(self.dtype)[:, 0], lp["ca_wq"], lp["ca_bq"])
+                * scale
+            ).astype(self.dtype)
+            ctx = decode_attention(qh, state.k_mem[i], state.v_mem[i])
+            ctx = ctx.reshape(BK, 1, self.d_model)
+            h = ctx @ lp["ca_wo"] + lp["ca_bo"]
             x = self._ln(x + h, lp["n2_s"], lp["n2_b"])
             h = nn.relu(x.astype(self.dtype) @ lp["ff_w1"] + lp["ff_b1"])
             h = h @ lp["ff_w2"] + lp["ff_b2"]
@@ -253,5 +321,7 @@ class TransformerDecoder(nn.Module):
         from ..parallel.mesh import DATA_AXIS, MODEL_AXIS, shard_activation
 
         logits = shard_activation(logits, (DATA_AXIS, MODEL_AXIS))
-        new_state = state._replace(k_cache=k_cache, v_cache=v_cache, t=t + 1)
+        new_state = state._replace(
+            k_cache=k_cache, v_cache=v_cache, sel=sel, t=t + 1
+        )
         return new_state, logits

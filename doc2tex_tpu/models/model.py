@@ -198,10 +198,13 @@ class Model(nn.Module):
         return self.predicter(enc, text, train)
 
     # --- decode interface ---
-    def init_decode_state(self, enc, max_steps: int):
+    def init_decode_state(self, enc, max_steps: int, beam_size: int = 1):
+        """``enc`` is the UNexpanded (B, S, D) encoder output; per-beam
+        state leaves are allocated at B*beam_size rows while the attention
+        memory stays shared at B (see DecoderState/TFMState docstrings)."""
         if self.stages[2] == "TFM":
-            return self.predicter.init_state(enc, max_steps)
-        return self.predicter.init_state(enc)
+            return self.predicter.init_state(enc, max_steps, beam_size)
+        return self.predicter.init_state(enc, beam_size)
 
     def decode_step(self, state, tokens):
         return self.predicter.step(state, tokens)

@@ -1,0 +1,146 @@
+"""Beam decode attention (self- and cross-) for the TFM head.
+
+The TFM decode step needs, per layer, attention of K beam queries per
+sample against an (M, nh, hd) key/value buffer — the slot-folded KV cache
+(M = Tmax*K positions, see ``models/decoder_tfm.TFMState``) or the shared
+encoder memory (M = S).  The arithmetic intensity is tiny (K=5 queries,
+hd=32), so the op is a pure HBM stream over K/V.
+
+Semantics (f32 softmax):
+    scores[b,k,h,m] = sum_d q[b,k,h,d] * k[b,m,h,d]
+    scores = where(mask[b,k,m], scores, -inf)        # mask optional
+    attn   = softmax_m(scores)
+    ctx[b,k,h,d] = sum_m attn[b,k,h,m] * v[b,m,h,d]
+
+MEASURED VERDICT (v5e-1, batch 256, beam 5, M=755, 3 layers x 150 steps,
+tools/tfm_decode_profile.py): the default path is the jnp
+broadcast-multiply-reduce below — XLA fuses it into streaming passes
+(~330 GB/s in-loop).  The Pallas kernel (enable with
+``DOC2TEX_PALLAS_DECODE=1``) is numerically exact vs the reference but
+LOSES at these shapes: one grid program per sample leaves the per-program
+MXU/VPU work too small (16 tiny per-head dots), measuring ~17 ms/step vs
+~2 ms for the fused XLA form.  It is kept as the starting point for
+larger-model shapes (d_model >= 1024, hd >= 128 lanes) where the
+per-program dot is tile-sized and the XLA form starts materializing
+broadcasts.  Equality oracle: ``tools/tfm_decode_profile.py --check``.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+
+
+def _reference(q, k, v, mask):
+    """Broadcast-multiply-reduce formulation (XLA-fusible streaming).
+
+    Scores stay in (B, M, K, nh) layout end-to-end with the softmax over
+    axis 1 — transposing the f32 score tensor to put M minor cost two
+    extra 62 MB materializations per layer at the bench shapes."""
+    f32 = jnp.float32
+    # (B, M, K, nh) <- sum_d (B,1,K,nh,hd) * (B,M,1,nh,hd)
+    sc = (q[:, None] * k[:, :, None]).astype(f32).sum(-1)
+    if mask is not None:
+        # mask (B, K, M) -> (B, M, K, 1)
+        sc = jnp.where(mask.transpose(0, 2, 1)[..., None], sc, -jnp.inf)
+    attn = jax.nn.softmax(sc, axis=1).astype(v.dtype)   # over M
+    return (attn[..., None] * v[:, :, None]).sum(1)  # (B, K, nh, hd)
+
+
+def _kernel(q_ref, k_ref, v_ref, mask_ref, out_ref):
+    """One sample: q (K,nh,hd), k/v (M,nh,hd), mask (K,M) -> ctx (K,nh,hd).
+
+    Unrolled per-head so VMEM intermediates are (M, K, hd) f32 per head
+    (~0.5 MB at the bench shapes) instead of x nh — the whole-block form
+    blew the 16 MB scoped-VMEM limit.  All f32 where Mosaic needs 32-bit
+    (minor-dim inserts) or precision matters (softmax)."""
+    f32 = jnp.float32
+    m = mask_ref[0] if mask_ref is not None else None   # (K, M)
+    nh = q_ref.shape[2]
+    for h in range(nh):
+        qh = q_ref[0, :, h, :]                          # (K, hd)
+        kh = k_ref[0, :, h, :]                          # (M, hd)
+        vh = v_ref[0, :, h, :]
+        # MXU dots: contraction over hd / M keeps every intermediate at
+        # (K, M) or (K, hd) with the LONG dim minor — VPU broadcast-reduce
+        # forms had K(=5)-minor intermediates whose 128-lane padding
+        # wasted 25x of the vector unit (measured 31 ms/step vs ~2 ms)
+        sc = jax.lax.dot_general(
+            qh, kh, (((1,), (1,)), ((), ())),
+            preferred_element_type=f32,
+        )                                               # (K, M) f32
+        if m is not None:
+            sc = jnp.where(m, sc, -jnp.inf)
+        sc = sc - sc.max(axis=-1, keepdims=True)
+        ex = jnp.exp(sc)
+        attn = (ex / ex.sum(axis=-1, keepdims=True)).astype(vh.dtype)
+        ctx = jax.lax.dot_general(
+            attn, vh, (((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )                                               # (K, hd)
+        # output is head-major (1, nh, K, hd): the store only inserts
+        # MAJOR dims ((K,hd) -> (1,1,K,hd)), which is a layout no-op —
+        # a strided (1,K,1,hd) store needs a bf16 relayout Mosaic rejects
+        out_ref[0, h] = ctx.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("force_reference",))
+def decode_attention(q, k, v, mask=None, force_reference: bool = False):
+    """Beam decode attention.
+
+    q: (B, K, nh, hd) queries (pre-scaled by 1/sqrt(hd) if desired)
+    k, v: (B, M, nh, hd) keys/values
+    mask: optional (B, K, M) bool — True = attend
+    returns ctx (B, K, nh, hd) in v.dtype
+    """
+    use_pallas = (
+        not force_reference
+        and jax.default_backend() == "tpu"
+        and os.environ.get("DOC2TEX_PALLAS_DECODE") == "1"
+    )
+    if not use_pallas:
+        return _reference(q, k, v, mask)
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, K, nh, hd = q.shape
+    M = k.shape[1]
+
+    if mask is None:
+        kernel = lambda qr, kr, vr, orf: _kernel(qr, kr, vr, None, orf)
+        in_specs = [
+            pl.BlockSpec((1, K, nh, hd), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, M, nh, hd), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, M, nh, hd), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        args = (q, k, v)
+    else:
+        kernel = _kernel
+        in_specs = [
+            pl.BlockSpec((1, K, nh, hd), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, M, nh, hd), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, M, nh, hd), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K, M), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        args = (q, k, v, mask)
+
+    ctx = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, nh, K, hd), lambda b: (b, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, nh, K, hd), v.dtype),
+    )(*args)
+    return ctx.transpose(0, 2, 1, 3)  # -> (B, K, nh, hd), ~300 KB
