@@ -34,14 +34,7 @@ Dtype = Any
 
 
 class DecoderState(NamedTuple):
-    """Per-sequence decode state carried across steps.
-
-    Beam layout: per-beam leaves (h/c/alpha_*) carry B*K rows; the
-    attention memory (enc / enc_proj) stays at the SHARED batch dim B —
-    beams of one sample attend over identical encoder states, so
-    expanding them K-fold would multiply the dominant per-step HBM read
-    by the beam width.  ``step`` recovers K from the leaf shapes and
-    folds the beam axis into the query/score computation.
+    """Per-sequence decode state carried across steps (all leading dim B).
 
     When traced under ``quantized_inference(parts=(..., 'decoder_mem'))``
     the attention memory (enc / enc_proj) is stored int8 with per-sample
@@ -159,6 +152,14 @@ class LSTMAttentionDecoder(nn.Module):
         return jax.nn.one_hot(tokens, self.num_classes, dtype=jnp.float32)
 
     def init_state(self, batch_H, beam_size: int = 1) -> DecoderState:
+        # Beam layout: EVERY leaf is expanded to B*K rows, encoder memory
+        # included.  A shared-memory variant (enc at B rows, beam folded
+        # into the score/context einsums like the TFM head) was measured
+        # SLOWER on v5e-1 (2343 -> 1468 img/s headline): XLA's lowering of
+        # the folded einsums materializes broadcast products, while the
+        # expanded per-row reads stream at ~420 GB/s.
+        if beam_size > 1:
+            batch_H = jnp.repeat(batch_H, beam_size, axis=0)
         # attention memory kept in the compute dtype: enc/enc_proj reads
         # dominate decode-step HBM traffic (bf16 halves it); scores/softmax
         # and the LSTM carry stay f32 below
@@ -189,52 +190,32 @@ class LSTMAttentionDecoder(nn.Module):
         else:
             enc_scale = jnp.zeros((0,), jnp.float32)   # placeholder
             proj_scale = jnp.zeros((0,), jnp.float32)
-        if beam_size > 1:
-            # expand only the per-beam leaves (sample-major, beams of a
-            # sample contiguous); enc/enc_proj stay shared at B rows
-            h = jnp.repeat(h, beam_size, axis=0)
-            c = jnp.repeat(c, beam_size, axis=0)
-            zeros = jnp.repeat(zeros, beam_size, axis=0)
         return DecoderState(h, c, zeros, zeros, enc, enc_proj,
                             enc_scale, proj_scale)
 
     def step(
         self, state: DecoderState, tokens, deterministic: bool = True
     ) -> tuple[DecoderState, jax.Array]:
-        """One decode step: tokens (B*K,) int32 -> (new_state, logits (B*K, V)).
-
-        The attention memory (enc/enc_proj) has the shared batch dim B;
-        per-beam leaves have B*K rows — the beam axis K = (B*K)//B is
-        folded into the score/context einsums so memory is read once per
-        sample per step regardless of beam width."""
+        """One decode step: tokens (B,) int32 -> (new_state, logits (B, V))."""
         emb = self._embed(tokens)
         H = self.hidden_size
-        BK = state.h.shape[0]
-        Bs = state.enc.shape[0]
-        K = BK // Bs
 
         if self.attn_type == "luong":
             # LSTM first, then score against its new hidden (reference
             # LuongAttention.forward, attention1D.py:19-35)
             h_new, c_new = _lstm_cell(self.lstm, emb, state.h, state.c)
-            h_r = h_new.reshape(Bs, K, H)
             if self.method == "dot":
-                e = jnp.einsum("bsd,bkd->bks", state.enc, h_r)
+                e = jnp.einsum("bsd,bd->bs", state.enc, h_new)
             elif self.method == "general":
-                e = jnp.einsum("bsd,bkd->bks", state.enc, h_r @ self.w_luong)
+                e = jnp.einsum("bsd,bd->bs", state.enc, h_new @ self.w_luong)
             else:  # concat
-                mix = jnp.tanh(
-                    (h_r[:, :, None, :] + state.enc[:, None]) @ self.w_luong
-                )
+                mix = jnp.tanh((h_new[:, None, :] + state.enc) @ self.w_luong)
                 e = (mix @ self.v_luong)[..., 0]
-            alpha = jax.nn.softmax(e, axis=-1)  # (Bs, K, S)
-            context = jnp.einsum("bks,bsd->bkd", alpha, state.enc)
-            context = context.reshape(BK, -1)
+            alpha = jax.nn.softmax(e, axis=-1)
+            context = jnp.einsum("bs,bsd->bd", alpha, state.enc)
             out = jnp.tanh(jnp.concatenate([context, h_new], axis=-1))
             logits = out @ self.w_gen + self.b_gen
-            new_state = state._replace(
-                h=h_new, c=c_new, alpha_prev=alpha.reshape(BK, -1)
-            )
+            new_state = state._replace(h=h_new, c=c_new, alpha_prev=alpha)
             return new_state, logits
 
         # location context from the attention memory
@@ -260,27 +241,19 @@ class LSTMAttentionDecoder(nn.Module):
             )
         else:
             proj = state.enc_proj
-        S = proj.shape[1]
-        q = (state.h @ self.w_query + self.b_query).reshape(Bs, K, 1, H)
-        if isinstance(loc, float):  # bahdanau: no location term
-            loc_r = loc
-        else:
-            loc_r = loc.reshape(Bs, K, S, H) if K > 1 else loc[:, None]
-        # (Bs,1,S,H) + (Bs,K,1,H) + (Bs,K,S,H): proj read once per sample
-        e = jnp.tanh(proj[:, None] + q + loc_r) @ self.w_score + self.b_score
-        alpha = jnp.asarray(jax.nn.softmax(e[..., 0], axis=-1))  # (Bs, K, S)
+        q = (state.h @ self.w_query + self.b_query)[:, None, :]
+        e = jnp.tanh(proj + q + loc) @ self.w_score + self.b_score  # (B,S,1)
+        alpha = jnp.asarray(jax.nn.softmax(e[..., 0], axis=-1))  # (B, S)
         # capturable alignment for attention-overlay viz (reference packs
         # alpha into addition_outputs, build_model.py:65-77)
-        self.sow("intermediates", "alpha", alpha.reshape(BK, S))
+        self.sow("intermediates", "alpha", alpha)
         if qmem:
             context = (
-                jnp.einsum("bks,bsd->bkd", alpha, state.enc.astype(self.dtype))
-                * state.enc_scale
+                jnp.einsum("bs,bsd->bd", alpha, state.enc.astype(self.dtype))
+                * state.enc_scale[..., 0]
             )
         else:
-            context = jnp.einsum("bks,bsd->bkd", alpha, state.enc)
-        context = context.reshape(BK, -1)
-        alpha = alpha.reshape(BK, S)
+            context = jnp.einsum("bs,bsd->bd", alpha, state.enc)
 
         x = jnp.concatenate([context, emb], axis=-1)
         h_new, c_new = _lstm_cell(self.lstm, x, state.h, state.c)

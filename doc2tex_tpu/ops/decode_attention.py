@@ -27,7 +27,6 @@ broadcasts.  Equality oracle: ``tools/tfm_decode_profile.py --check``.
 
 from __future__ import annotations
 
-import functools
 import os
 
 import jax
@@ -37,17 +36,19 @@ import jax.numpy as jnp
 def _reference(q, k, v, mask):
     """Broadcast-multiply-reduce formulation (XLA-fusible streaming).
 
-    Scores stay in (B, M, K, nh) layout end-to-end with the softmax over
-    axis 1 — transposing the f32 score tensor to put M minor cost two
-    extra 62 MB materializations per layer at the bench shapes."""
+    The softmax runs over the MINOR axis of a transposed (B, K, nh, M)
+    score tensor: softmax over the non-minor M of the untransposed
+    layout measured ~2x slower (lane-inefficient cross-sublane reduce)
+    despite saving the transposes."""
     f32 = jnp.float32
     # (B, M, K, nh) <- sum_d (B,1,K,nh,hd) * (B,M,1,nh,hd)
     sc = (q[:, None] * k[:, :, None]).astype(f32).sum(-1)
+    sc = sc.transpose(0, 2, 3, 1)  # (B, K, nh, M)
     if mask is not None:
-        # mask (B, K, M) -> (B, M, K, 1)
-        sc = jnp.where(mask.transpose(0, 2, 1)[..., None], sc, -jnp.inf)
-    attn = jax.nn.softmax(sc, axis=1).astype(v.dtype)   # over M
-    return (attn[..., None] * v[:, :, None]).sum(1)  # (B, K, nh, hd)
+        sc = jnp.where(mask[:, :, None, :], sc, -jnp.inf)
+    attn = jax.nn.softmax(sc, axis=-1).astype(v.dtype)
+    aw = attn.transpose(0, 3, 1, 2)  # (B, M, K, nh)
+    return (aw[..., None] * v[:, :, None]).sum(1)  # (B, K, nh, hd)
 
 
 def _kernel(q_ref, k_ref, v_ref, mask_ref, out_ref):
@@ -87,7 +88,6 @@ def _kernel(q_ref, k_ref, v_ref, mask_ref, out_ref):
         out_ref[0, h] = ctx.astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("force_reference",))
 def decode_attention(q, k, v, mask=None, force_reference: bool = False):
     """Beam decode attention.
 
@@ -95,6 +95,11 @@ def decode_attention(q, k, v, mask=None, force_reference: bool = False):
     k, v: (B, M, nh, hd) keys/values
     mask: optional (B, K, M) bool — True = attend
     returns ctx (B, K, nh, hd) in v.dtype
+
+    NOT @jax.jit on purpose: callers trace this inside their own jit
+    (the decode scan body), and a nested-jit call boundary here blocked
+    XLA from fusing the streaming reduce with its neighbours — measured
+    3x on the full decode step.
     """
     use_pallas = (
         not force_reference
