@@ -87,20 +87,6 @@ def lstm_gather(state, beam_idx, batch_size, k):
     return make_gather_fn(LSTM_STATIC)(state, beam_idx, batch_size, k)
 
 
-def expand_for_beams(tree, k, static_fields: tuple[str, ...] = (), axis: int = 0):
-    """Repeat each batch row K times along the leading batch axis."""
-    def rep(x):
-        return jnp.repeat(x, k, axis=axis)
-
-    if hasattr(tree, "_asdict"):
-        updates = {
-            name: (leaf if name in static_fields else rep(leaf))
-            for name, leaf in tree._asdict().items()
-        }
-        return tree._replace(**updates)
-    return jax.tree_util.tree_map(rep, tree)
-
-
 def beam_decode(
     step_fn: Callable,
     init_state,

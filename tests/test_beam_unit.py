@@ -103,3 +103,68 @@ class TestBeamFinishedStore:
         row = np.asarray(tokens)[0].tolist()
         # late finisher [3, 2]: norm (-0.15)/3 = -0.05 beats [2]: -2.0/2
         assert row[:2] == [3, 2], row
+
+
+class TestTFMSlotAncestry:
+    def test_fixed_slot_cache_matches_full_pass_through_reorders(self):
+        """The TFM decode never physically reorders its KV caches: beam
+        shuffles only permute the (B, K, T, K) ancestry selection
+        (``TFMState.sel``, ``beam.tfm_gather``).  After a sequence of
+        steps interleaved with reorders — including DUPLICATED parents,
+        the case where physical reordering and ancestry tracking differ
+        most — each hypothesis's step logits must equal a full causal
+        forward over its gathered token prefix."""
+        import jax
+
+        from doc2tex_tpu.decode.beam import tfm_gather
+        from doc2tex_tpu.models.decoder_tfm import TransformerDecoder
+
+        B, K, S, d, vocab = 2, 3, 4, 16, 6
+        dec = TransformerDecoder(
+            num_classes=vocab, d_model=d, nhead=2, num_decoder_layers=2,
+            dim_feedforward=32, dropout=0.0, max_seq_len=8,
+        )
+        rng = np.random.default_rng(0)
+        memory = jnp.asarray(rng.normal(size=(B, S, d)), jnp.float32)
+        variables = dec.init(
+            jax.random.PRNGKey(0), memory, jnp.ones((B, 3), jnp.int32), False
+        )
+
+        state = dec.apply(
+            variables, memory, 5, K, method=TransformerDecoder.init_state
+        )
+        prefixes = [[[] for _ in range(K)] for _ in range(B)]
+
+        def run_step(tokens_bk):
+            nonlocal state
+            toks = jnp.asarray(np.asarray(tokens_bk).reshape(B * K), jnp.int32)
+            state, logits = dec.apply(
+                variables, state, toks, method=TransformerDecoder.step
+            )
+            for b in range(B):
+                for k in range(K):
+                    prefixes[b][k].append(int(tokens_bk[b][k]))
+            return logits.reshape(B, K, vocab)
+
+        def reorder(beam_idx):
+            nonlocal state
+            state = tfm_gather(state, jnp.asarray(beam_idx, jnp.int32), B, K)
+            for b in range(B):
+                prefixes[b] = [list(prefixes[b][j]) for j in beam_idx[b]]
+
+        run_step([[1, 1, 1], [1, 1, 1]])            # GO everywhere
+        reorder([[2, 0, 0], [1, 2, 1]])             # duplicated parents
+        run_step([[3, 4, 5], [5, 3, 4]])
+        reorder([[1, 1, 2], [0, 2, 2]])
+        logits = np.asarray(run_step([[4, 5, 3], [3, 5, 4]]), np.float32)
+
+        # oracle: full causal pass over each hypothesis's prefix
+        for b in range(B):
+            for k in range(K):
+                tgt = jnp.asarray([prefixes[b][k]], jnp.int32)   # (1, 3)
+                full = dec.apply(
+                    variables, memory[b:b + 1], tgt, False
+                )  # (1, 3, vocab)
+                want = np.asarray(full, np.float32)[0, -1]
+                got = logits[b, k]
+                np.testing.assert_allclose(got, want, atol=2e-2, rtol=2e-2)
