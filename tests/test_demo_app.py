@@ -76,6 +76,39 @@ class TestRecogConfigContract:
         if weights is not None:  # exported weights ship in-repo
             assert os.path.getsize(weights) > 1 << 20
 
+    def test_synthetic_tfm_release_block(self):
+        """Second released version: the Transformer decoder family
+        (family A/B winner on the hard benchmark — EM 0.8313 vs 0.725).
+        The weights must restore into the TFM-head model exactly
+        (load_pretrained_variables errors on any tree mismatch)."""
+        import jax
+        import numpy as np
+
+        from doc2tex_tpu.models import build_model
+        from doc2tex_tpu.recognition import load_recog_config
+        from doc2tex_tpu.tokenizer.converters import TFMLabelConverter
+        from doc2tex_tpu.tokenizer.vocab import load_vocab
+        from doc2tex_tpu.train.checkpoint import load_pretrained_variables
+        from doc2tex_tpu.train.trainer import init_model
+
+        cfg, weights = load_recog_config(version="synthetic_tfm")
+        assert cfg["Prediction"]["name"] == "TFM"
+        assert cfg["Prediction"]["params"]["d_model"] == 128
+        assert os.path.exists(weights)
+
+        conv = TFMLabelConverter(load_vocab(cfg["vocab"]))
+        model = build_model(cfg, conv.num_classes)
+        params0, stats0 = init_model(
+            model, jax.random.PRNGKey(0), (1, 32, 32, 1), 8
+        )
+        params, stats, info = load_pretrained_variables(
+            weights, params0, stats0
+        )
+        emb = np.asarray(
+            params["predicter"]["word_embed"], np.float32
+        )
+        assert np.abs(emb).sum() > 0  # real trained values, not init
+
     def test_unknown_version_raises(self):
         import pytest as _pytest
 

@@ -43,7 +43,15 @@ def main() -> None:
     ap.add_argument("--modes", default="bf16,int8",
                     help="comma list of bf16/int8/int8_full passes to run "
                     "(int8_full = encoder + int8 decode attention memory)")
+    ap.add_argument("--family", default="attn", choices=["attn", "tfm"],
+                    help="decoder family / released version to validate: "
+                    "attn = synthetic (coverage-LSTM), tfm = synthetic_tfm "
+                    "(Transformer head)")
     args = ap.parse_args()
+    if args.family == "tfm" and "synthetic/best" in args.weights:
+        args.weights = args.weights.replace(
+            "synthetic/best", "synthetic_tfm/best"
+        )
 
     from doc2tex_tpu.data.loader import ArrayDataset, BucketLoader
     from doc2tex_tpu.data.synthetic import hard_vocab, synth_hard_dataset
@@ -51,15 +59,19 @@ def main() -> None:
     from doc2tex_tpu.engine.inferencing import validation
     from doc2tex_tpu.models import build_model
     from doc2tex_tpu.ops.quant import quantized_inference
-    from doc2tex_tpu.tokenizer.converters import AttnLabelConverter
+    from doc2tex_tpu.tokenizer.converters import (
+        AttnLabelConverter,
+        TFMLabelConverter,
+    )
     from doc2tex_tpu.train.checkpoint import load_pretrained_variables
     from doc2tex_tpu.train.trainer import init_model
 
-    cfg = build(100000, hard=True)
+    cfg = build(100000, hard=True, family=args.family)
     kw = {"min_len": 8, "max_len": 150, "max_h": 220, "max_w": 696,
           "scale_range": (3, 5)}  # the soak's calibrated operating point
     ev_images, ev_labels = synth_hard_dataset(args.n_eval, seed=32, **kw)
-    conv = AttnLabelConverter(hard_vocab())
+    conv_cls = TFMLabelConverter if args.family == "tfm" else AttnLabelConverter
+    conv = conv_cls(hard_vocab())
     model = build_model(cfg, conv.num_classes)
 
     params0, stats0 = init_model(
