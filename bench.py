@@ -359,14 +359,24 @@ def gate_main() -> None:
             tokens, _ = decode(variables, batch_d)
             _ = int(tokens[0, 0])
             best = min(best, time.perf_counter() - t0 - rtt)
-        # encoder-only time for MFU
+        # encoder-only time for MFU: min of 3 — the subtracted tunnel RTT
+        # is itself noisy (25-40 ms run-to-run), and a single rep can
+        # under-read enc_t enough to print an impossible MFU > 1
         out = enc_jit(variables, batch_d)
         _ = float(out[0, 0, 0])
-        t0 = time.perf_counter()
-        out = enc_jit(variables, batch_d)
-        _ = float(out[0, 0, 0])
-        enc_t = max(time.perf_counter() - t0 - rtt, 1e-9)
+        enc_t = float("inf")
+        for _ in range(1 if quick else 3):
+            t0 = time.perf_counter()
+            out = enc_jit(variables, batch_d)
+            _ = float(out[0, 0, 0])
+            enc_t = min(enc_t, time.perf_counter() - t0)
+        enc_t = max(enc_t - rtt, 1e-9)
         mfu = enc_flops / enc_t / V5E_BF16_PEAK
+        if enc_t < 2 * rtt:
+            # device time below the tunnel-noise floor: the subtracted RTT
+            # varies 25-40 ms run-to-run, so MFU here would be fiction
+            # (observed "MFU 3.7") — report it as unmeasurable instead
+            mfu = None
 
         # measured compile events (ADVICE r2): the first call counts as a
         # compile only when it did substantial work beyond steady-state
@@ -383,10 +393,12 @@ def gate_main() -> None:
         rows.append(
             dict(bucket=f"{h}x{w}", batch=bs, ms_per_batch=round(best * 1e3, 1),
                  img_per_s=round(bs / best, 1), enc_ms=round(enc_t * 1e3, 1),
-                 enc_mfu=round(mfu, 3), compile_s=round(compile_s, 1))
+                 enc_mfu=None if mfu is None else round(mfu, 3),
+                 compile_s=round(compile_s, 1))
         )
+        mfu_s = "n/a" if mfu is None else f"{mfu:.2f}"
         print(f"  bucket {h}x{w} b={bs}: {best*1e3:.1f} ms/batch "
-              f"({bs/best:.1f} img/s), enc {enc_t*1e3:.1f} ms MFU {mfu:.2f}, "
+              f"({bs/best:.1f} img/s), enc {enc_t*1e3:.1f} ms MFU {mfu_s}, "
               f"compile {compile_s:.0f}s", file=sys.stderr)
 
     agg_ips = total_images / total_time
