@@ -34,18 +34,13 @@ NEG_INF = -1e9
 def _gather_beams(x, beam_idx, batch_size, k):
     """x: (B*K, ...) -> x[beam_idx] per batch group. beam_idx: (B, K).
 
-    Float leaves reorder via a one-hot einsum: ``take_along_axis`` with a
-    broadcast index lowers to an element-wise XLA gather (measured ~10x
-    slower than streaming on TPU for KV-cache-sized leaves), while a
-    (B, K, K) 0/1 matmul streams at full HBM bandwidth on the MXU and is
-    exact (each output element is 1.0*value + 0.0*rest)."""
+    Plain take_along_axis: every leaf routed here is small (LSTM carries,
+    alignment vectors — the TFM KV caches are fixed-slot and never
+    gathered, see ``tfm_gather``).  A one-hot einsum variant was tried
+    for cache-sized leaves but silently truncates f32 state to bf16 on
+    TPU default matmul precision — exactness matters more here."""
     shaped = x.reshape(batch_size, k, -1)
-    if jnp.issubdtype(x.dtype, jnp.floating):
-        onehot = jax.nn.one_hot(beam_idx, k, dtype=x.dtype)  # (B, Knew, Kold)
-        out = jnp.einsum("bnk,bkf->bnf", onehot, shaped)
-    else:
-        idx = beam_idx[..., None]
-        out = jnp.take_along_axis(shaped, idx, axis=1)
+    out = jnp.take_along_axis(shaped, beam_idx[..., None], axis=1)
     return out.reshape(batch_size * k, *x.shape[1:])
 
 
@@ -64,13 +59,12 @@ def make_gather_fn(static_fields: tuple[str, ...] = ()) -> Callable:
     return gather
 
 
-# Beam-invariant fields for the two built-in heads (the int8 memory
-# scales are per-sample, identical across beams — and the bf16 path
-# carries (0,)-shaped placeholders that must not be reshaped).
+# Beam-invariant fields for the LSTM head (the int8 memory scales are
+# per-sample, identical across beams — and the bf16 path carries
+# (0,)-shaped placeholders that must not be reshaped).  The TFM head has
+# no static list: its gather fn (``tfm_gather``) touches only ``sel`` —
+# KV caches are fixed-slot, cross K/V shared at the batch dim.
 LSTM_STATIC = ("enc", "enc_proj", "enc_scale", "proj_scale")
-# TFM: the KV caches are fixed-slot (never reordered, see tfm_gather) and
-# the cross K/V are shared at the batch dim — only ``sel`` is per-beam.
-TFM_STATIC = ("k_cache", "v_cache", "k_mem", "v_mem", "t")
 
 
 def tfm_gather(state, beam_idx, batch_size, k):

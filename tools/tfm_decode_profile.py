@@ -68,13 +68,25 @@ def main() -> None:
         np.random.default_rng(0).integers(0, 255, (B, H, W, 1), np.uint8)
     ).astype(jnp.float32) / 255.0
 
+    # measure the tunnel RTT instead of assuming it: it varies 25-40 ms
+    # run-to-run (see bench.py), which would be a 30-50% error on the
+    # short component timings below
+    tiny = jax.jit(lambda v: v + 1)
+    _ = float(tiny(jnp.float32(0)))
+    rtt = float("inf")
+    for i in range(5):
+        t0 = time.perf_counter()
+        _ = float(tiny(jnp.float32(i)))
+        rtt = min(rtt, time.perf_counter() - t0)
+    print(f"tunnel rtt: {rtt*1e3:.0f} ms", flush=True)
+
     def timeit(name, fn, *a):
         # every fn returns a SCALAR (tunnel transfers are ~40 MB/s; pulling
         # a cache-sized array would swamp the measurement)
         float(fn(*a))  # compile + warm
         t0 = time.perf_counter()
         out = float(fn(*a))
-        dt = (time.perf_counter() - t0) * 1e3 - 25.0  # subtract tunnel RTT
+        dt = (time.perf_counter() - t0 - rtt) * 1e3
         print(f"{name:34s} {dt:9.1f} ms", flush=True)
         return out
 

@@ -62,11 +62,6 @@ def main() -> None:
     big = 0
     for line in hlo.splitlines():
         ls = line.strip()
-        m = re.match(r"%?[\w.-]+ = \S+ (copy|transpose)\(", ls)
-        if ("copy(" in ls or "transpose(" in ls) and re.search(
-            r"bf16\[[\d,]*(?:1228800|6144000|245760)", ls.replace(",", "")
-        ):
-            pass
         if ("= bf16[" in ls or "= f32[" in ls) and (
             " copy(" in ls or " transpose(" in ls
         ):
