@@ -252,7 +252,13 @@ class TransformerDecoder(nn.Module):
         nh, hd = self.nhead, self.d_model // self.nhead
         t = state.t
         emb = self.word_embed[tokens] * (tokens != self.padding_idx)[..., None]
-        x = (emb * np.sqrt(self.d_model) + self.pos_table[t])[:, None, :]  # (BK,1,d)
+        # x stays 2-D (BK, d) through the whole step: a (BK, 1, d) carry
+        # turns every projection into BK batched M=1 matvecs instead of
+        # one (BK, d) @ (d, d) matmul.  2.7x on an isolated-step micro
+        # harness; NEUTRAL inside the full 150-step while_loop (9.5 ms/step
+        # either way — the loop body's cost is elsewhere, see
+        # tools/tfm_decode_profile.py), kept for the cleaner matmul form.
+        x = emb * np.sqrt(self.d_model) + self.pos_table[t]      # (BK, d)
 
         M = state.k_cache.shape[2]               # Tmax * K positions
         Tmax = M // K
@@ -276,7 +282,7 @@ class TransformerDecoder(nn.Module):
             return (y @ w + b).reshape(Bs, K, self.nhead, hd)
 
         for i, lp in enumerate(self.layers):
-            xq = x.astype(self.dtype)[:, 0]      # (BK, d)
+            xq = x.astype(self.dtype)            # (BK, d)
             # new K/V cast to the cache dtype BEFORE the update: an f32
             # value scattered into a bf16 buffer breaks XLA's in-place
             # carry update (full-cache copy per step) and is a future error
@@ -300,24 +306,22 @@ class TransformerDecoder(nn.Module):
                 self.dtype
             )
             ctx = decode_attention(qh, k_cache[i], v_cache[i], sel_mask)
-            ctx = ctx.reshape(BK, 1, self.d_model)
-            h = ctx @ lp["sa_wo"] + lp["sa_bo"]
+            h = ctx.reshape(BK, self.d_model) @ lp["sa_wo"] + lp["sa_bo"]
             x = self._ln(x + h, lp["n1_s"], lp["n1_b"])
             # cross-attention against the SHARED memory: fold the beam
             # axis into the query so K/V are read once per sample, not
             # once per beam; same kernel, no mask
             qh = (
-                heads(x.astype(self.dtype)[:, 0], lp["ca_wq"], lp["ca_bq"])
+                heads(x.astype(self.dtype), lp["ca_wq"], lp["ca_bq"])
                 * scale
             ).astype(self.dtype)
             ctx = decode_attention(qh, state.k_mem[i], state.v_mem[i])
-            ctx = ctx.reshape(BK, 1, self.d_model)
-            h = ctx @ lp["ca_wo"] + lp["ca_bo"]
+            h = ctx.reshape(BK, self.d_model) @ lp["ca_wo"] + lp["ca_bo"]
             x = self._ln(x + h, lp["n2_s"], lp["n2_b"])
             h = nn.relu(x.astype(self.dtype) @ lp["ff_w1"] + lp["ff_b1"])
             h = h @ lp["ff_w2"] + lp["ff_b2"]
             x = self._ln(x + h, lp["n3_s"], lp["n3_b"])
-        logits = (x[:, 0] @ self.w_proj + self.b_proj).astype(jnp.float32)
+        logits = (x @ self.w_proj + self.b_proj).astype(jnp.float32)
         from ..parallel.mesh import DATA_AXIS, MODEL_AXIS, shard_activation
 
         logits = shard_activation(logits, (DATA_AXIS, MODEL_AXIS))
