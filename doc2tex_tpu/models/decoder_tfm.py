@@ -53,17 +53,24 @@ class TFMState(NamedTuple):
       (~2 MB) instead of the caches.
     - Cache layout folds the (position, slot) axes into one length-
       Tmax*K axis, POSITION-major (flat index m = t*K + j), keeping
-      (nh, hd) minor — (L, B, Tmax*K, nh, hd).  Position-major makes the
-      K slot-writes of a step CONTIGUOUS: one dynamic_update_slice per
-      cache per layer.  With slot-major (m = j*Tmax + t) the K strided
-      writes compiled to 30 full-cache update fusions per step —
-      ~9 GB/step of pointless cache rewrite (measured ~9-11 ms/step;
-      this form is ~2 ms)."""
+      (nh, hd) minor — (B, Tmax*K, nh, hd) per layer.  Position-major
+      makes the K slot-writes of a step CONTIGUOUS: one
+      dynamic_update_slice per cache per layer.  With slot-major
+      (m = j*Tmax + t) the K strided writes compiled to 30 full-cache
+      update fusions per step — ~9 GB/step of pointless cache rewrite
+      (measured ~9-11 ms/step; this form is ~2 ms).
+    - Layers are SEPARATE pytree leaves (tuples of L arrays), NOT one
+      stacked (L, ...) array: updating a stacked cache with
+      ``dynamic_update_slice(cache, new[None], (i, ...))`` and slicing
+      ``cache[i]`` back out inside the decode while_loop defeated XLA's
+      in-place carry updates — the step ran 14.2 ms vs 2.3 ms with
+      per-layer leaves (6.3x, the dominant decode cost; measured on
+      v5e-1 at B=256 K=5, /tmp bisection harness, round 3)."""
 
-    k_cache: jax.Array   # (L, B, Tmax*K, nh, hd) — fixed physical slots
-    v_cache: jax.Array   # (L, B, Tmax*K, nh, hd)
-    k_mem: jax.Array     # (L, B, S, nh, hd) — precomputed cross K (shared)
-    v_mem: jax.Array     # (L, B, S, nh, hd)
+    k_cache: tuple       # L x (B, Tmax*K, nh, hd) — fixed physical slots
+    v_cache: tuple       # L x (B, Tmax*K, nh, hd)
+    k_mem: tuple         # L x (B, S, nh, hd) — precomputed cross K (shared)
+    v_mem: tuple         # L x (B, S, nh, hd)
     sel: jax.Array       # (B, K, Tmax, K) — ancestry slot selection
     t: jax.Array         # () int32 — current step
 
@@ -233,22 +240,26 @@ class TransformerDecoder(nn.Module):
         L, nh = self.num_decoder_layers, self.nhead
         hd = self.d_model // nh
         mem = memory.astype(self.dtype)
-        k_mem = jnp.stack(
-            [self._heads(mem, lp["ca_wk"], lp["ca_bk"]) for lp in self.layers]
-        ).astype(self.dtype)
-        v_mem = jnp.stack(
-            [self._heads(mem, lp["ca_wv"], lp["ca_bv"]) for lp in self.layers]
-        ).astype(self.dtype)
-        k_cache = jnp.zeros((L, B, max_steps * beam_size, nh, hd), self.dtype)
-        v_cache = jnp.zeros((L, B, max_steps * beam_size, nh, hd), self.dtype)
+        # per-layer TUPLES, not a stacked (L, ...) array — see TFMState
+        k_mem = tuple(
+            self._heads(mem, lp["ca_wk"], lp["ca_bk"]).astype(self.dtype)
+            for lp in self.layers
+        )
+        v_mem = tuple(
+            self._heads(mem, lp["ca_wv"], lp["ca_bv"]).astype(self.dtype)
+            for lp in self.layers
+        )
+        zeros = jnp.zeros((B, max_steps * beam_size, nh, hd), self.dtype)
+        k_cache = tuple(zeros for _ in range(L))
+        v_cache = tuple(zeros for _ in range(L))
         sel = jnp.zeros((B, beam_size, max_steps, beam_size), self.dtype)
         return TFMState(k_cache, v_cache, k_mem, v_mem, sel, jnp.int32(0))
 
     def step(self, state: TFMState, tokens) -> tuple[TFMState, jax.Array]:
         """One decode step: tokens (B*K,) -> (state, logits (B*K, V))."""
         BK = tokens.shape[0]
-        Bs = state.k_mem.shape[1]   # shared batch dim of the memory
-        K = BK // Bs                # beam width folded into the rows
+        Bs = state.k_mem[0].shape[0]  # shared batch dim of the memory
+        K = BK // Bs                  # beam width folded into the rows
         nh, hd = self.nhead, self.d_model // self.nhead
         t = state.t
         emb = self.word_embed[tokens] * (tokens != self.padding_idx)[..., None]
@@ -260,7 +271,7 @@ class TransformerDecoder(nn.Module):
         # tools/tfm_decode_profile.py), kept for the cleaner matmul form.
         x = emb * np.sqrt(self.d_model) + self.pos_table[t]      # (BK, d)
 
-        M = state.k_cache.shape[2]               # Tmax * K positions
+        M = state.k_cache[0].shape[1]            # Tmax * K positions
         Tmax = M // K
         # the slot holding position t is the hypothesis's own: record the
         # identity row, so after the shuffle permutes sel the entry
@@ -275,7 +286,7 @@ class TransformerDecoder(nn.Module):
         sel_mask = (sel > 0.5) & (pos <= t)      # (Bs, k_hyp, t', j)
         sel_mask = sel_mask.reshape(Bs, K, M)    # flat positions m = t'*K+j
 
-        k_cache, v_cache = state.k_cache, state.v_cache
+        k_cache, v_cache = [], []
 
         # beam-split head projection: (BK, d) -> (Bs, K, nh, hd)
         def heads(y, w, b):
@@ -291,13 +302,17 @@ class TransformerDecoder(nn.Module):
             # hypothesis in slot j writes flat position t*K + j — the K
             # slot-writes of a step are CONTIGUOUS: one slice update per
             # cache (slot-major needed K strided updates, which compiled
-            # to full-cache rewrite fusions — ~9 GB/step)
-            k_cache = jax.lax.dynamic_update_slice(
-                k_cache, k_new[None], (i, 0, t * K, 0, 0)
+            # to full-cache rewrite fusions — ~9 GB/step).  Each layer's
+            # cache is its OWN carry leaf: a stacked (L, ...) update +
+            # slice-back broke in-place updates (14.2 -> 2.3 ms/step)
+            k_i = jax.lax.dynamic_update_slice(
+                state.k_cache[i], k_new, (0, t * K, 0, 0)
             )
-            v_cache = jax.lax.dynamic_update_slice(
-                v_cache, v_new[None], (i, 0, t * K, 0, 0)
+            v_i = jax.lax.dynamic_update_slice(
+                state.v_cache[i], v_new, (0, t * K, 0, 0)
             )
+            k_cache.append(k_i)
+            v_cache.append(v_i)
             # slot attention: score EVERY flat position m (K x FLOPs) and
             # select the hypothesis's ancestry via the mask — the cache is
             # read once, never permuted (see ops/decode_attention.py)
@@ -305,7 +320,7 @@ class TransformerDecoder(nn.Module):
             qh = (heads(xq, lp["sa_wq"], lp["sa_bq"]) * scale).astype(
                 self.dtype
             )
-            ctx = decode_attention(qh, k_cache[i], v_cache[i], sel_mask)
+            ctx = decode_attention(qh, k_i, v_i, sel_mask)
             h = ctx.reshape(BK, self.d_model) @ lp["sa_wo"] + lp["sa_bo"]
             x = self._ln(x + h, lp["n1_s"], lp["n1_b"])
             # cross-attention against the SHARED memory: fold the beam
@@ -326,6 +341,6 @@ class TransformerDecoder(nn.Module):
 
         logits = shard_activation(logits, (DATA_AXIS, MODEL_AXIS))
         new_state = state._replace(
-            k_cache=k_cache, v_cache=v_cache, sel=sel, t=t + 1
+            k_cache=tuple(k_cache), v_cache=tuple(v_cache), sel=sel, t=t + 1
         )
         return new_state, logits

@@ -133,7 +133,7 @@ def main() -> None:
     state = init_fn(variables, enc)
     timeit(
         "init_decode_state",
-        jax.jit(lambda v, e: init_fn(v, e).k_cache.sum()), variables, enc,
+        jax.jit(lambda v, e: init_fn(v, e).k_cache[0].sum()), variables, enc,
     )
 
     # ---- bare step loop (no beam logic, fixed tokens)
@@ -141,11 +141,16 @@ def main() -> None:
 
     @jax.jit
     def step_loop(v, s):
-        def body(_, s):
+        # accumulate logits.sum() so EVERY layer's work stays live: with
+        # per-layer cache leaves, reading back only layer-0's cache lets
+        # XLA DCE the whole attention/FFN chain (layer 0's K/V depend
+        # only on the token embedding)
+        def body(_, carry):
+            s, acc = carry
             s, logits = model.apply(v, s, toks, method="decode_step")
-            return s
-        s = jax.lax.fori_loop(0, T, body, s)
-        return s.k_cache[0, 0].sum()
+            return s, acc + logits.sum()
+        _, acc = jax.lax.fori_loop(0, T, body, (s, jnp.float32(0)))
+        return acc
 
     timeit(f"step_fn x{T} (no beam logic)", step_loop, variables, state)
 
@@ -156,7 +161,7 @@ def main() -> None:
     def gather_loop(s):
         def body(_, s):
             return tfm_gather(s, idx, B, K)
-        return jax.lax.fori_loop(0, T, body, s).k_cache[0, 0].sum()
+        return jax.lax.fori_loop(0, T, body, s).sel.sum()
 
     timeit(f"beam shuffle x{T}", gather_loop, state)
 

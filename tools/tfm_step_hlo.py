@@ -52,7 +52,7 @@ def main() -> None:
             return s
 
         s = jax.lax.fori_loop(0, T, body, s)
-        return s.k_cache[0, 0, 0, 0].sum()
+        return s.k_cache[0][0, 0, 0].sum()
 
     lowered = step_loop.lower(variables, enc)
     compiled = lowered.compile()
