@@ -91,6 +91,11 @@ def run_infer(config, dataset, log_path: str | None = None) -> dict:
     import jax
     import jax.numpy as jnp
 
+    if jax.default_backend() == "tpu":
+        # persistent compile cache: chunked TFM decode compiles one loop
+        # body per chunk (~minutes cold, seconds cached)
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
+
     from doc2tex_tpu.data.loader import BucketLoader
     from doc2tex_tpu.decode.runner import make_decode_fn
     from doc2tex_tpu.engine.inferencing import validation

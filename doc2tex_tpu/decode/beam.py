@@ -92,6 +92,7 @@ def beam_decode(
     end_token: int = 2,
     pad_token: int = 0,
     length_offset: int = 1,
+    chunk_schedule=None,
 ):
     """Beam search over a (B*K)-flattened state.
 
@@ -105,6 +106,13 @@ def beam_decode(
     ``length_offset`` reproduces the reference normalization denominator:
     it divides by len(seq incl. [GO] and [s]) (seq2seq.py:210-213), i.e.
     emitted-token count + 1.
+
+    ``chunk_schedule``: optional list of ``(t_end, grow_fn)`` pairs, last
+    ``t_end == max_steps``.  The decode runs as sequential while_loops,
+    one per chunk; after each non-final chunk ``grow_fn(state)`` enlarges
+    the state's KV caches (``decoder_tfm.grow_decode_state``) so steps in
+    early chunks only stream the live cache prefix.  The early-exit cond
+    still applies inside every chunk.
     """
     B, K, V_steps = batch_size, beam_size, max_steps
 
@@ -123,10 +131,6 @@ def beam_decode(
     best_norm0 = jnp.full((B,), NEG_INF)
     best_tokens0 = jnp.full((B, V_steps), pad_token, jnp.int32)
     best_scores0 = jnp.full((B,), NEG_INF)
-
-    def cond(carry):
-        (state, tokens, scores, cur, finished, lengths, t, *_rest) = carry
-        return (t < max_steps) & ~finished.all()
 
     def body(carry):
         (state, tokens, scores, cur, finished, lengths, t,
@@ -191,8 +195,18 @@ def beam_decode(
 
     carry = (init_state, tokens_buf, scores0, cur0, finished0, lengths0,
              jnp.int32(0), best_norm0, best_tokens0, best_scores0)
+    if chunk_schedule is None:
+        chunk_schedule = [(max_steps, None)]
+    for t_end, grow_fn in chunk_schedule:
+        def chunk_cond(carry, _t_end=t_end):
+            (state, tokens, scores, cur, finished, lengths, t, *_rest) = carry
+            return (t < _t_end) & ~finished.all()
+
+        carry = jax.lax.while_loop(chunk_cond, body, carry)
+        if grow_fn is not None:
+            carry = (grow_fn(carry[0]),) + carry[1:]
     (_, tokens, scores, _, finished, lengths, _,
-     best_norm, store_tokens, store_scores) = jax.lax.while_loop(cond, body, carry)
+     best_norm, store_tokens, store_scores) = carry
 
     # length-normalized selection among finished slots, merged with the
     # store; fall back to beam 0 when nothing ever finished

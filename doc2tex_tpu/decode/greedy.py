@@ -26,19 +26,19 @@ def greedy_decode(
     start_token: int = 1,
     end_token: int = 2,
     pad_token: int = 0,
+    chunk_schedule=None,
 ):
     """Greedy decode.
 
     Returns (tokens (B, max_steps) int32, lengths (B,) int32).  Tokens after
     the emitted [s] are pad.  The [s] itself is kept in the buffer (matching
     reference detokenize, which cuts at the first [s]).
+
+    ``chunk_schedule``: optional list of ``(t_end, grow_fn)`` pairs for
+    chunked KV-cache decode — see ``beam.beam_decode``.
     """
 
     tokens_buf = jnp.full((batch_size, max_steps), pad_token, jnp.int32)
-
-    def cond(carry):
-        state, tokens, cur, done, t = carry
-        return (t < max_steps) & ~done.all()
 
     def body(carry):
         state, tokens, cur, done, t = carry
@@ -55,6 +55,16 @@ def greedy_decode(
     start = jnp.full((batch_size,), start_token, jnp.int32)
     done0 = jnp.zeros((batch_size,), bool)
     carry = (init_state, tokens_buf, start, done0, jnp.int32(0))
-    _, tokens, _, _, _ = jax.lax.while_loop(cond, body, carry)
+    if chunk_schedule is None:
+        chunk_schedule = [(max_steps, None)]
+    for t_end, grow_fn in chunk_schedule:
+        def chunk_cond(carry, _t_end=t_end):
+            state, tokens, cur, done, t = carry
+            return (t < _t_end) & ~done.all()
+
+        carry = jax.lax.while_loop(chunk_cond, body, carry)
+        if grow_fn is not None:
+            carry = (grow_fn(carry[0]),) + carry[1:]
+    _, tokens, _, _, _ = carry
     lengths = jnp.sum(tokens != pad_token, axis=-1).astype(jnp.int32)
     return tokens, lengths

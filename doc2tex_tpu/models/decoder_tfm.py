@@ -230,15 +230,28 @@ class TransformerDecoder(nn.Module):
         )
 
     # ------------------------------------------------------------------
-    def init_state(self, memory, max_steps: int, beam_size: int = 1) -> TFMState:
+    def init_state(
+        self,
+        memory,
+        max_steps: int,
+        beam_size: int = 1,
+        live_steps: int | None = None,
+    ) -> TFMState:
         """Allocate KV caches and precompute cross-attention K/V.
 
         ``memory`` is the UNexpanded (B, S, D) encoder output; only the
         per-beam self-attention caches are allocated at B*beam_size rows
-        (beam layout: sample-major, beams of a sample contiguous)."""
+        (beam layout: sample-major, beams of a sample contiguous).
+
+        ``live_steps`` caps the initial cache capacity for CHUNKED decode
+        (``decode/runner.py``): every decode step streams the whole slot
+        axis, so steps t < live_steps only pay for live positions; the
+        caller grows the caches with ``grow_decode_state`` before decoding
+        past the cap.  ``sel`` is always full-length (it is tiny)."""
         B, S, _ = memory.shape
         L, nh = self.num_decoder_layers, self.nhead
         hd = self.d_model // nh
+        cap = max_steps if live_steps is None else min(live_steps, max_steps)
         mem = memory.astype(self.dtype)
         # per-layer TUPLES, not a stacked (L, ...) array — see TFMState
         k_mem = tuple(
@@ -249,7 +262,7 @@ class TransformerDecoder(nn.Module):
             self._heads(mem, lp["ca_wv"], lp["ca_bv"]).astype(self.dtype)
             for lp in self.layers
         )
-        zeros = jnp.zeros((B, max_steps * beam_size, nh, hd), self.dtype)
+        zeros = jnp.zeros((B, cap * beam_size, nh, hd), self.dtype)
         k_cache = tuple(zeros for _ in range(L))
         v_cache = tuple(zeros for _ in range(L))
         sel = jnp.zeros((B, beam_size, max_steps, beam_size), self.dtype)
@@ -281,9 +294,12 @@ class TransformerDecoder(nn.Module):
         )
         sel = jax.lax.dynamic_update_slice(state.sel, eye_row, (0, 0, t, 0))
         # ancestry mask over flat positions m = t'*K + j: sel one-hot
-        # AND t'<=t, flattened position-major to match the cache fold
+        # AND t'<=t, flattened position-major to match the cache fold.
+        # sel is full-length; under chunked decode the cache (and hence
+        # Tmax here) covers only the live prefix — slice sel to match
         pos = jax.lax.broadcasted_iota(jnp.int32, (1, 1, Tmax, 1), 2)
-        sel_mask = (sel > 0.5) & (pos <= t)      # (Bs, k_hyp, t', j)
+        sel_live = jax.lax.slice_in_dim(sel, 0, Tmax, axis=2)
+        sel_mask = (sel_live > 0.5) & (pos <= t)  # (Bs, k_hyp, t', j)
         sel_mask = sel_mask.reshape(Bs, K, M)    # flat positions m = t'*K+j
 
         k_cache, v_cache = [], []
@@ -344,3 +360,28 @@ class TransformerDecoder(nn.Module):
             k_cache=tuple(k_cache), v_cache=tuple(v_cache), sel=sel, t=t + 1
         )
         return new_state, logits
+
+
+def grow_decode_state(
+    state: TFMState, new_steps: int, beam_size: int
+) -> TFMState:
+    """Zero-pad the KV caches to ``new_steps * beam_size`` slots.
+
+    Chunked-decode support: ``step`` streams the ENTIRE slot axis of the
+    caches every step, so decoding with full-length caches pays for
+    max_steps positions from step 0.  ``decode/runner.py`` instead starts
+    with short caches (``init_state(live_steps=...)``) and grows them
+    between sequential decode chunks — the per-step HBM read and attention
+    math then scale with the live prefix (~0.6x of full-length on average
+    at 5 chunks).  A pure pad: slot m of the grown cache holds the same
+    (position, slot) as before (flat index m = t*K + j), and ``sel`` was
+    allocated full-length, so decode results are exactly unchanged."""
+    m_new = new_steps * beam_size
+    m_old = state.k_cache[0].shape[1]
+    if m_new <= m_old:
+        return state
+    pad = ((0, 0), (0, m_new - m_old), (0, 0), (0, 0))
+    return state._replace(
+        k_cache=tuple(jnp.pad(c, pad) for c in state.k_cache),
+        v_cache=tuple(jnp.pad(c, pad) for c in state.v_cache),
+    )

@@ -198,12 +198,22 @@ class Model(nn.Module):
         return self.predicter(enc, text, train)
 
     # --- decode interface ---
-    def init_decode_state(self, enc, max_steps: int, beam_size: int = 1):
+    def init_decode_state(
+        self,
+        enc,
+        max_steps: int,
+        beam_size: int = 1,
+        live_steps: int | None = None,
+    ):
         """``enc`` is the UNexpanded (B, S, D) encoder output; per-beam
         state leaves are allocated at B*beam_size rows while the attention
-        memory stays shared at B (see DecoderState/TFMState docstrings)."""
+        memory stays shared at B (see DecoderState/TFMState docstrings).
+        ``live_steps`` (TFM head only) caps the initial KV-cache capacity
+        for chunked decode — see ``decoder_tfm.grow_decode_state``."""
         if self.stages[2] == "TFM":
-            return self.predicter.init_state(enc, max_steps, beam_size)
+            return self.predicter.init_state(
+                enc, max_steps, beam_size, live_steps=live_steps
+            )
         return self.predicter.init_state(enc, beam_size)
 
     def decode_step(self, state, tokens):

@@ -208,6 +208,42 @@ class TestTFMBeamPath:
         t1, _ = beam1(variables, jnp.asarray(img))
         np.testing.assert_array_equal(np.asarray(t1), np.asarray(tg))
 
+    def test_chunked_decode_token_exact(self):
+        """Chunked KV-cache decode (grow_decode_state between sequential
+        while_loops) is token-exact vs single-loop full-capacity decode,
+        for both greedy and beam — the pad is pure capacity, the live
+        prefix and ancestry mask are unchanged."""
+        from tests.test_models import tfm_config, VOCAB_SIZE
+        from doc2tex_tpu.decode.runner import make_decode_fn
+        from doc2tex_tpu.models import build_model
+
+        cfg = tfm_config()
+        model = build_model(cfg, VOCAB_SIZE)
+        img = np.random.default_rng(11).integers(
+            0, 255, (2, 32, 64, 1), dtype=np.uint8
+        )
+        variables = model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((2, 32, 64, 1), jnp.float32),
+            jnp.zeros((2, 9), jnp.int32),
+            False,
+        )
+        img = jnp.asarray(img)
+        # max_steps=24 with 3 chunks -> ends [8, 16, 24]
+        for beam in (1, 3):
+            full = make_decode_fn(
+                model, cfg, beam_size=beam, max_steps=24, decode_chunks=1
+            )
+            chunked = make_decode_fn(
+                model, cfg, beam_size=beam, max_steps=24, decode_chunks=3
+            )
+            tf_, af = full(variables, img)
+            tc, ac = chunked(variables, img)
+            np.testing.assert_array_equal(np.asarray(tf_), np.asarray(tc))
+            np.testing.assert_allclose(
+                np.asarray(af), np.asarray(ac), rtol=1e-6, atol=1e-6
+            )
+
 
 class TestAttnV1WithViT:
     def test_v1_attends_over_cls(self):
