@@ -1,0 +1,182 @@
+"""Recognition serving CLI: HTTP front over the micro-batching server.
+
+The reference's only serving surface is the Streamlit demo
+(``demo/app.py:197-334``), which decodes one crop per interaction.  This
+CLI is the production counterpart: a threaded stdlib HTTP server whose
+handler threads block on futures while ONE dispatcher thread coalesces
+concurrent requests into bucket-batched TPU decodes
+(:class:`doc2tex_tpu.serving.RecognitionServer`).
+
+Endpoints:
+    POST /recognize          image bytes (png/jpg/bmp) -> {"latex": ...}
+    GET  /stats              dispatcher counters + latency percentiles
+    GET  /healthz            liveness probe
+
+Usage:
+    python api/serve.py --model_version synthetic --port 8080 \
+        [--beam_size 5] [--max_batch 64] [--window_ms 5] [--platform cpu]
+
+Load-generation smoke (no HTTP client needed):
+    python api/serve.py --model_version synthetic --selftest 32
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import sys
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import numpy as np
+
+
+def decode_image_bytes(data: bytes) -> np.ndarray:
+    """Image file bytes -> grayscale uint8 HxW array."""
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(data))
+    return np.asarray(img.convert("L"), dtype=np.uint8)
+
+
+def build_handler(server, max_body: int = 32 << 20):
+    """Bind a BaseHTTPRequestHandler subclass to a RecognitionServer."""
+    from doc2tex_tpu.serving import ServerOverloaded
+
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def _reply(self, code: int, payload: dict) -> None:
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):  # noqa: N802 — http.server API
+            if self.path == "/healthz":
+                self._reply(200, {"ok": True})
+            elif self.path == "/stats":
+                self._reply(200, server.stats())
+            else:
+                self._reply(404, {"error": "unknown path"})
+
+        def do_POST(self):  # noqa: N802
+            if self.path != "/recognize":
+                self._reply(404, {"error": "unknown path"})
+                return
+            length = int(self.headers.get("Content-Length", 0))
+            if not 0 < length <= max_body:
+                self._reply(413, {"error": f"bad Content-Length {length}"})
+                return
+            data = self.rfile.read(length)
+            t0 = time.monotonic()
+            try:
+                image = decode_image_bytes(data)
+            except Exception as exc:  # noqa: BLE001
+                self._reply(400, {"error": f"undecodable image: {exc}"})
+                return
+            try:
+                latex = server.recognize(image, timeout=120.0)
+            except ServerOverloaded as exc:
+                self._reply(503, {"error": str(exc)})
+                return
+            except Exception as exc:  # noqa: BLE001
+                self._reply(500, {"error": str(exc)})
+                return
+            self._reply(
+                200,
+                {"latex": latex, "ms": round((time.monotonic() - t0) * 1e3, 1)},
+            )
+
+        def log_message(self, fmt, *args):  # quiet by default
+            pass
+
+    return Handler
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__.split("\n", 1)[0])
+    ap.add_argument("--recog_config", default=None,
+                    help="recognizer config yaml (default demo/recog_cfg.yaml)")
+    ap.add_argument("--model_version", default="synthetic",
+                    help="version block in the recog config (shipped "
+                    "releases: synthetic, synthetic_tfm)")
+    ap.add_argument("--beam_size", type=int, default=None)
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8080)
+    ap.add_argument("--max_batch", type=int, default=64)
+    ap.add_argument("--window_ms", type=float, default=5.0)
+    ap.add_argument("--max_queue", type=int, default=512)
+    ap.add_argument("--platform", default=None,
+                    choices=["cpu", "tpu", "axon"],
+                    help="force a jax platform (env JAX_PLATFORMS may be "
+                    "pinned; this applies the post-import update)")
+    ap.add_argument("--selftest", type=int, default=0, metavar="N",
+                    help="skip HTTP: push N synthetic crops through the "
+                    "dispatcher from 4 threads and print stats")
+    args = ap.parse_args(argv)
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+    from doc2tex_tpu.recognition.flow import MathRecognition, load_recog_config
+    from doc2tex_tpu.serving import RecognitionServer
+
+    cfg, weights = load_recog_config(args.recog_config, args.model_version)
+    recog = MathRecognition(cfg, weights_path=weights, beam_size=args.beam_size)
+    server = RecognitionServer(
+        recog,
+        max_batch=args.max_batch,
+        batch_window_ms=args.window_ms,
+        max_queue=args.max_queue,
+    )
+
+    if args.selftest:
+        from doc2tex_tpu.data.synthetic import synth_sample
+
+        rng = np.random.default_rng(0)
+        crops = [synth_sample(rng)[0] for _ in range(args.selftest)]
+        out: list = [None] * len(crops)
+
+        def worker(lane: int) -> None:
+            for i in range(lane, len(crops), 4):
+                out[i] = server.recognize(crops[i], timeout=600.0)
+
+        t0 = time.monotonic()
+        threads = [threading.Thread(target=worker, args=(k,)) for k in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        dt = time.monotonic() - t0
+        server.close()
+        assert all(isinstance(s, str) for s in out)
+        print(json.dumps({"selftest": args.selftest,
+                          "wall_s": round(dt, 2), **server.stats()}))
+        return 0
+
+    httpd = ThreadingHTTPServer((args.host, args.port), build_handler(server))
+    print(f"serving {args.model_version} on http://{args.host}:{args.port} "
+          f"(beam={recog.beam_size}, max_batch={args.max_batch}, "
+          f"window={args.window_ms}ms)", flush=True)
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        httpd.shutdown()
+        server.close()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

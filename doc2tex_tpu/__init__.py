@@ -42,4 +42,8 @@ def __getattr__(name):  # lazy top-level API (avoids importing jax at pkg import
         from . import engine as _e
 
         return getattr(_e, name)
+    if name == "RecognitionServer":
+        from .serving import RecognitionServer
+
+        return RecognitionServer
     raise AttributeError(name)

@@ -1,0 +1,241 @@
+"""Production serving: dynamic micro-batching over the bucketed recognizer.
+
+The reference serves one crop at a time from a Streamlit callback
+(``demo/app.py:182-194`` -> ``demo/HybridViT/recog_flow.py:107-128``) — a
+batch-1 decode per request.  On TPU that wastes the chip: a batch-1 beam
+decode costs nearly the same wall-clock as batch-64 (the decode loop is
+latency-bound and the MXU underfed), so concurrent request streams should
+share batches.  This module is the piece a production deployment needs on
+top of :class:`~doc2tex_tpu.recognition.flow.MathRecognition`:
+
+- a bounded request queue + ONE dispatcher thread that coalesces requests
+  arriving within a latency window into a single recognizer call (the
+  recognizer then groups by bucket shape and decodes each group batched);
+- backpressure (:class:`ServerOverloaded`) instead of unbounded growth;
+- throughput / latency / batch-size accounting for operators.
+
+TPU-first design notes:
+
+- static shape discipline is inherited: the recognizer snaps every group
+  to the bucket ladder and a power-of-two batch ladder, so the compiled
+  program set stays bounded no matter the traffic mix;
+- exactly one thread talks to the device.  JAX dispatch is serialized per
+  process anyway; coalescing belongs in the queue, not in XLA.  Transport
+  threads (e.g. the HTTP handlers in ``api/serve.py``) only block on
+  futures.
+"""
+
+from __future__ import annotations
+
+import statistics
+import threading
+import time
+from collections import deque
+from concurrent.futures import Future
+from queue import Empty, Full, Queue
+from typing import Callable, Optional, Sequence
+
+import numpy as np
+
+
+class ServerClosed(RuntimeError):
+    """submit() after close(), or a future cancelled by shutdown."""
+
+
+class ServerOverloaded(RuntimeError):
+    """The bounded request queue is full (backpressure signal)."""
+
+
+class _Request:
+    __slots__ = ("image", "future", "t_submit")
+
+    def __init__(self, image: np.ndarray):
+        self.image = image
+        self.future: Future = Future()
+        self.t_submit = time.monotonic()
+
+
+class RecognitionServer:
+    """Micro-batching front of a crop recognizer.
+
+    Parameters
+    ----------
+    recognizer:
+        ``images -> list[str]`` batch callable; normally a
+        :class:`~doc2tex_tpu.recognition.flow.MathRecognition` instance.
+    max_batch:
+        Coalescing cap per recognizer call.  The recognizer still splits
+        the batch by bucket shape internally.
+    batch_window_ms:
+        How long the dispatcher holds a batch open after its first
+        request, waiting for companions.  0 = dispatch whatever is
+        immediately available (lowest latency, smallest batches).
+    max_queue:
+        Bound on queued (not yet dispatched) requests; ``submit`` raises
+        :class:`ServerOverloaded` beyond it.
+    """
+
+    def __init__(
+        self,
+        recognizer: Callable[[Sequence[np.ndarray]], list],
+        max_batch: int = 64,
+        batch_window_ms: float = 5.0,
+        max_queue: int = 512,
+    ):
+        if max_batch < 1:
+            raise ValueError("max_batch must be >= 1")
+        self.recognizer = recognizer
+        self.max_batch = int(max_batch)
+        self.window_s = float(batch_window_ms) / 1e3
+        self._queue: Queue = Queue(maxsize=max_queue)
+        self._closed = False
+        self._lock = threading.Lock()
+        # rolling accounting (last 1024 requests / batches)
+        self._lat_s: deque = deque(maxlen=1024)
+        self._batch_sizes: deque = deque(maxlen=1024)
+        self._n_requests = 0
+        self._n_images_done = 0
+        self._n_batches = 0
+        self._n_errors = 0
+        self._t_start = time.monotonic()
+        self._thread = threading.Thread(
+            target=self._dispatch_loop, name="d2t-dispatch", daemon=True
+        )
+        self._thread.start()
+
+    # ------------------------------------------------------------- client
+
+    def submit(self, image: np.ndarray) -> Future:
+        """Enqueue one crop; returns a Future resolving to its LaTeX."""
+        if self._closed:
+            raise ServerClosed("server is closed")
+        req = _Request(np.asarray(image))
+        try:
+            self._queue.put_nowait(req)
+        except Full:
+            raise ServerOverloaded(
+                f"request queue full ({self._queue.maxsize})"
+            ) from None
+        with self._lock:
+            self._n_requests += 1
+        return req.future
+
+    def recognize(self, image: np.ndarray, timeout: Optional[float] = None) -> str:
+        """Synchronous single-crop helper."""
+        return self.submit(image).result(timeout=timeout)
+
+    def recognize_many(
+        self, images: Sequence[np.ndarray], timeout: Optional[float] = None
+    ) -> list:
+        """Submit a burst and wait for all results (order preserved)."""
+        futures = [self.submit(im) for im in images]
+        return [f.result(timeout=timeout) for f in futures]
+
+    # -------------------------------------------------------------- stats
+
+    def stats(self) -> dict:
+        with self._lock:
+            lat = sorted(self._lat_s)
+            done = self._n_images_done
+            stats = {
+                "requests": self._n_requests,
+                "completed": done,
+                "batches": self._n_batches,
+                "errors": self._n_errors,
+                "queue_depth": self._queue.qsize(),
+                "uptime_s": round(time.monotonic() - self._t_start, 3),
+                "avg_batch": (
+                    round(statistics.fmean(self._batch_sizes), 2)
+                    if self._batch_sizes
+                    else 0.0
+                ),
+                "latency_p50_ms": _pct_ms(lat, 0.50),
+                "latency_p95_ms": _pct_ms(lat, 0.95),
+            }
+        stats["throughput_rps"] = (
+            round(done / stats["uptime_s"], 3) if stats["uptime_s"] > 0 else 0.0
+        )
+        return stats
+
+    # ----------------------------------------------------------- shutdown
+
+    def close(self, drain: bool = True, timeout: float = 30.0) -> None:
+        """Stop accepting requests; by default let the queue drain first."""
+        self._closed = True
+        if drain:
+            deadline = time.monotonic() + timeout
+            while not self._queue.empty() and time.monotonic() < deadline:
+                time.sleep(0.005)
+        self._stop = True
+        self._thread.join(timeout=timeout)
+        # fail anything still queued
+        while True:
+            try:
+                req = self._queue.get_nowait()
+            except Empty:
+                break
+            if not req.future.done():
+                req.future.set_exception(ServerClosed("server shut down"))
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
+
+    # --------------------------------------------------------- dispatcher
+
+    _stop = False
+
+    def _dispatch_loop(self) -> None:
+        while not self._stop:
+            try:
+                first = self._queue.get(timeout=0.05)
+            except Empty:
+                continue
+            batch = [first]
+            deadline = time.monotonic() + self.window_s
+            while len(batch) < self.max_batch:
+                remaining = deadline - time.monotonic()
+                if remaining > 0:
+                    try:
+                        batch.append(self._queue.get(timeout=remaining))
+                        continue
+                    except Empty:
+                        break
+                # window elapsed: take only what is already waiting
+                try:
+                    batch.append(self._queue.get_nowait())
+                except Empty:
+                    break
+            self._run_batch(batch)
+
+    def _run_batch(self, batch: list) -> None:
+        try:
+            results = self.recognizer([r.image for r in batch])
+        except Exception as exc:  # noqa: BLE001 — forwarded to callers
+            with self._lock:
+                self._n_errors += len(batch)
+                self._n_batches += 1
+            for r in batch:
+                if not r.future.done():
+                    r.future.set_exception(exc)
+            return
+        t1 = time.monotonic()
+        with self._lock:
+            self._n_batches += 1
+            self._n_images_done += len(batch)
+            self._batch_sizes.append(len(batch))
+            for r in batch:
+                self._lat_s.append(t1 - r.t_submit)
+        for r, out in zip(batch, results):
+            if not r.future.done():
+                r.future.set_result(out)
+
+
+def _pct_ms(sorted_lat_s: list, q: float) -> float:
+    if not sorted_lat_s:
+        return 0.0
+    idx = min(int(q * len(sorted_lat_s)), len(sorted_lat_s) - 1)
+    return round(sorted_lat_s[idx] * 1e3, 2)

@@ -1,0 +1,242 @@
+"""Serving layer tests: micro-batching dispatcher + HTTP front.
+
+The reference has no serving surface beyond the Streamlit demo callback
+(one crop per interaction, ``demo/app.py:182-194``); the batching
+semantics tested here are this framework's production addition.
+"""
+
+import io
+import json
+import threading
+import time
+from http.client import HTTPConnection
+from http.server import ThreadingHTTPServer
+
+import numpy as np
+import pytest
+
+from doc2tex_tpu.serving import (
+    RecognitionServer,
+    ServerClosed,
+    ServerOverloaded,
+)
+
+
+class FakeRecognizer:
+    """Batch callable that labels images by their [0,0] pixel and records
+    the batch sizes it was called with."""
+
+    def __init__(self, delay_s: float = 0.0, gate: threading.Event = None):
+        self.batches = []
+        self.delay_s = delay_s
+        self.gate = gate
+        self.entered = threading.Event()  # set when a batch call begins
+
+    def __call__(self, images):
+        self.entered.set()
+        if self.gate is not None:
+            self.gate.wait(timeout=10.0)
+        if self.delay_s:
+            time.sleep(self.delay_s)
+        self.batches.append(len(images))
+        return [f"px{int(np.asarray(im)[0, 0])}" for im in images]
+
+
+class TestDispatcher:
+    def test_results_map_to_requests(self):
+        recog = FakeRecognizer()
+        with RecognitionServer(recog, batch_window_ms=20) as srv:
+            imgs = [np.full((4, 4), v, np.uint8) for v in range(17)]
+            out = srv.recognize_many(imgs, timeout=10.0)
+        assert out == [f"px{v}" for v in range(17)]
+
+    def test_concurrent_requests_coalesce(self):
+        # Deterministic coalescing: the gate holds the dispatcher inside
+        # batch #1 while 7 more requests queue up; releasing it must yield
+        # exactly one more batch with all 7.
+        gate = threading.Event()
+        recog = FakeRecognizer(gate=gate)
+        srv = RecognitionServer(recog, max_batch=64, batch_window_ms=0)
+        try:
+            first = srv.submit(np.zeros((4, 4), np.uint8))
+            assert recog.entered.wait(timeout=5.0)  # dispatcher is inside #1
+            rest = [srv.submit(np.full((4, 4), v, np.uint8)) for v in range(1, 8)]
+            gate.set()
+            assert first.result(timeout=10.0) == "px0"
+            assert [f.result(timeout=10.0) for f in rest] == [
+                f"px{v}" for v in range(1, 8)
+            ]
+        finally:
+            srv.close()
+        assert recog.batches[0] == 1
+        assert recog.batches[1] == 7  # coalesced, not 7 batch-1 calls
+        st = srv.stats()
+        assert st["completed"] == 8 and st["batches"] == 2
+        assert st["avg_batch"] == 4.0
+
+    def test_max_batch_cap(self):
+        gate = threading.Event()
+        recog = FakeRecognizer(gate=gate)
+        srv = RecognitionServer(recog, max_batch=3, batch_window_ms=0)
+        try:
+            futures = [
+                srv.submit(np.full((2, 2), v, np.uint8)) for v in range(10)
+            ]
+            gate.set()
+            for v, f in enumerate(futures):
+                assert f.result(timeout=10.0) == f"px{v}"
+        finally:
+            srv.close()
+        assert max(recog.batches) <= 3
+
+    def test_backpressure(self):
+        gate = threading.Event()
+        recog = FakeRecognizer(gate=gate)
+        srv = RecognitionServer(recog, max_queue=2, batch_window_ms=0)
+        try:
+            held = srv.submit(np.zeros((2, 2), np.uint8))  # occupies dispatcher
+            assert recog.entered.wait(timeout=5.0)
+            srv.submit(np.zeros((2, 2), np.uint8))
+            srv.submit(np.zeros((2, 2), np.uint8))
+            with pytest.raises(ServerOverloaded):
+                srv.submit(np.zeros((2, 2), np.uint8))
+            gate.set()
+            held.result(timeout=10.0)
+        finally:
+            srv.close()
+
+    def test_recognizer_error_propagates_and_server_survives(self):
+        calls = {"n": 0}
+
+        def flaky(images):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise ValueError("boom")
+            return ["ok"] * len(images)
+
+        with RecognitionServer(flaky, batch_window_ms=0) as srv:
+            bad = srv.submit(np.zeros((2, 2), np.uint8))
+            with pytest.raises(ValueError, match="boom"):
+                bad.result(timeout=10.0)
+            assert srv.recognize(np.zeros((2, 2), np.uint8), timeout=10.0) == "ok"
+            st = srv.stats()
+            assert st["errors"] == 1 and st["completed"] == 1
+
+    def test_submit_after_close_raises(self):
+        srv = RecognitionServer(FakeRecognizer(), batch_window_ms=0)
+        srv.close()
+        with pytest.raises(ServerClosed):
+            srv.submit(np.zeros((2, 2), np.uint8))
+
+    def test_close_drains_queue(self):
+        recog = FakeRecognizer(delay_s=0.01)
+        srv = RecognitionServer(recog, batch_window_ms=0)
+        futures = [srv.submit(np.full((2, 2), v, np.uint8)) for v in range(5)]
+        srv.close(drain=True)
+        assert [f.result(timeout=1.0) for f in futures] == [
+            f"px{v}" for v in range(5)
+        ]
+
+    def test_stats_shape(self):
+        with RecognitionServer(FakeRecognizer(), batch_window_ms=0) as srv:
+            srv.recognize(np.zeros((2, 2), np.uint8), timeout=10.0)
+            st = srv.stats()
+        for key in ("requests", "completed", "batches", "errors",
+                    "queue_depth", "avg_batch", "latency_p50_ms",
+                    "latency_p95_ms", "throughput_rps", "uptime_s"):
+            assert key in st, key
+        assert st["latency_p50_ms"] > 0
+
+
+class TestHTTPFront:
+    @pytest.fixture()
+    def http_server(self):
+        import sys, os  # noqa: E401
+
+        sys.path.insert(
+            0,
+            os.path.join(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                "api",
+            ),
+        )
+        from serve import build_handler
+
+        recog = FakeRecognizer()
+        srv = RecognitionServer(recog, batch_window_ms=5)
+        httpd = ThreadingHTTPServer(("127.0.0.1", 0), build_handler(srv))
+        thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+        thread.start()
+        yield httpd.server_address[1], recog
+        httpd.shutdown()
+        srv.close()
+
+    @staticmethod
+    def _png_bytes(value: int) -> bytes:
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.fromarray(np.full((8, 8), value, np.uint8)).save(buf, "PNG")
+        return buf.getvalue()
+
+    def test_recognize_roundtrip(self, http_server):
+        port, _ = http_server
+        conn = HTTPConnection("127.0.0.1", port, timeout=10)
+        conn.request("POST", "/recognize", body=self._png_bytes(37))
+        resp = conn.getresponse()
+        body = json.loads(resp.read())
+        assert resp.status == 200
+        assert body["latex"] == "px37"
+        assert body["ms"] >= 0
+
+    def test_concurrent_posts_share_batches(self, http_server):
+        port, recog = http_server
+        results = [None] * 12
+
+        def post(i):
+            conn = HTTPConnection("127.0.0.1", port, timeout=15)
+            payload = self._png_bytes(i)
+            conn.request("POST", "/recognize", body=payload)
+            results[i] = json.loads(conn.getresponse().read())["latex"]
+
+        threads = [threading.Thread(target=post, args=(i,)) for i in range(12)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert results == [f"px{i}" for i in range(12)]
+
+    def test_stats_and_health(self, http_server):
+        port, _ = http_server
+        conn = HTTPConnection("127.0.0.1", port, timeout=10)
+        conn.request("GET", "/healthz")
+        assert json.loads(conn.getresponse().read())["ok"] is True
+        conn.request("GET", "/stats")
+        st = json.loads(conn.getresponse().read())
+        assert "requests" in st
+        conn.request("GET", "/nope")
+        assert conn.getresponse().status == 404
+
+    def test_bad_image_is_400(self, http_server):
+        port, _ = http_server
+        conn = HTTPConnection("127.0.0.1", port, timeout=10)
+        conn.request("POST", "/recognize", body=b"not an image")
+        assert conn.getresponse().status == 400
+
+
+class TestEndToEndTinyModel:
+    def test_server_over_real_recognizer(self):
+        # tiny model, greedy decode, CPU — exercises the full submit ->
+        # dispatch -> bucket-batch -> decode -> detokenize path
+        from tests.test_loader_engine import small_config
+        from doc2tex_tpu.recognition.flow import MathRecognition
+        from doc2tex_tpu.data.synthetic import synth_sample
+
+        cfg = small_config()
+        recog = MathRecognition(cfg, beam_size=1, use_clahe=False)
+        rng = np.random.default_rng(3)
+        crops = [synth_sample(rng)[0] for _ in range(3)]
+        with RecognitionServer(recog, batch_window_ms=50) as srv:
+            out = srv.recognize_many(crops, timeout=300.0)
+        assert len(out) == 3
+        assert all(isinstance(s, str) for s in out)

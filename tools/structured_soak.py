@@ -45,7 +45,7 @@ CURVE_PATH = os.path.join(
 
 
 def build(steps: int, hard: bool = False, attn: str = "coverage",
-          gcb: bool = False, family: str = "attn"):
+          gcb: bool = False, family: str = "attn", big: bool = False):
     try:  # persistent compile cache: restarts skip the ~2-4 min/bucket
         import jax as _jax  # remote grad compiles (measured 90s at 64x64)
 
@@ -66,28 +66,40 @@ def build(steps: int, hard: bool = False, attn: str = "coverage",
         keep_smaller_batches=False,  # ragged tails would double the compiles
         bucket_growth=2.2,  # 1-CPU box: keep the compile count ~a dozen
         FeatureExtraction={"name": "None"},
+        # --big (round-3 scaling arm): flagship-scale encoder (256x6, the
+        # test.yaml regime) + a deeper TFM head — the capacity-scaling
+        # point on the hard benchmark (small arms are the matched-budget
+        # family A/B; this one asks what the framework converges to when
+        # capacity stops being the binding constraint)
         SequenceModeling={"name": "ViT", "params": {
             "backbone": {"name": "resnet", "input_channel": 1,
-                         "output_channel": 128, "gcb": gcb},
+                         "output_channel": 256 if big else 128, "gcb": gcb},
             "fix_embed": True, "input_channel": 1, "patching_style": "2d",
-            "patch_size": [2, 2], "depth": 3, "num_heads": 4,
-            "hidden_size": 128}},
+            "patch_size": [2, 2], "depth": 6 if big else 3,
+            "num_heads": 8 if big else 4,
+            "hidden_size": 256 if big else 128}},
         # --family tfm: the reference's second decoder family
         # (TransformerPrediction, tfm.py:35-195) sized to match the attn
         # arm's parameter budget at d_model 128 — the A/B compares decoder
         # families under identical data/encoder/schedule
         Prediction=(
             {"name": "TFM", "params": {
-                "d_model": 128, "nhead": 4, "num_decoder_layers": 3,
-                "dim_feedforward": 512, "dropout": 0.1}}
+                "d_model": 256 if big else 128, "nhead": 8 if big else 4,
+                "num_decoder_layers": 6 if big else 3,
+                "dim_feedforward": 1024 if big else 512, "dropout": 0.1}}
             if family == "tfm" else
             {"name": "Attnv2", "params": {
-                "seqmodel": "TFM", "input_size": 128, "hidden_size": 128,
+                "seqmodel": "TFM",
+                "input_size": 256 if big else 128,
+                "hidden_size": 256 if big else 128,
                 "kernel_size": 2, "kernel_dim": 64, "embed_target": True,
                 "enc_init": True, "attn_type": attn, "droprate": 0.1}}
         ),
         criterion={"name": "entropy"},
-        optimizer={"opt": "adamw", "lr": 0.001, "weight_decay": 0.000002},
+        # big arm: post-LN 6L decoder is warmup/LR sensitive — the
+        # reference trains its flagship at 5e-4 (config/train.yaml:70)
+        optimizer={"opt": "adamw", "lr": 0.0005 if big else 0.001,
+                   "weight_decay": 0.000002},
         # schedule epochs derive from valInterval; keep it below the run
         # horizon so short pilots get a real warmup+cosine (schedule.py
         # guards the degenerate case too)
@@ -121,6 +133,14 @@ def main() -> None:
     ap.add_argument("--family", default="attn", choices=["attn", "tfm"],
                     help="decoder family: coverage-LSTM (Attnv2) or the "
                     "Transformer decoder head (reference tfm.py; A/B arm)")
+    ap.add_argument("--big", action="store_true",
+                    help="capacity-scaling arm: flagship-scale encoder "
+                    "(256x6) + deeper decoder (TFM 256/8h/6L)")
+    ap.add_argument("--ckpt_dir", default=None,
+                    help="override the checkpoint dir (default /tmp/<tag>_"
+                    "soak; /tmp does not survive machine restarts — long "
+                    "runs should point this at saved_models/<name>, which "
+                    "is gitignored)")
     args = ap.parse_args()
 
     global CKPT_DIR, CURVE_PATH
@@ -131,13 +151,17 @@ def main() -> None:
             tag = "hard_tfm"
         if args.gcb:
             tag += "_gcb"
+        if args.big:
+            tag += "_big"
         CKPT_DIR = f"/tmp/{tag}_soak"
         CURVE_PATH = os.path.join(
             os.path.dirname(os.path.abspath(__file__)), f"{tag}_curve.jsonl"
         )
+    if args.ckpt_dir:
+        CKPT_DIR = args.ckpt_dir
 
     cfg = build(args.steps, hard=args.hard, attn=args.attn, gcb=args.gcb,
-                family=args.family)
+                family=args.family, big=args.big)
     if args.hard:
         from doc2tex_tpu.data.synthetic import hard_vocab, synth_hard_dataset
 
