@@ -9,8 +9,14 @@ concurrent requests into bucket-batched TPU decodes
 
 Endpoints:
     POST /recognize          image bytes (png/jpg/bmp) -> {"latex": ...}
+    POST /recognize_page     (--detect) page bytes ->
+                             {"regions": [{"box": [x1,y1,x2,y2], "latex": ...}]}
     GET  /stats              dispatcher counters + latency percentiles
     GET  /healthz            liveness probe
+
+With ``--detect``, detection runs page-by-page on a dedicated thread while
+every page's crops flow through the SAME micro-batching crop dispatcher as
+plain ``/recognize`` traffic (crops from concurrent pages share batches).
 
 Usage:
     python api/serve.py --model_version synthetic --port 8080 \
@@ -44,8 +50,9 @@ def decode_image_bytes(data: bytes) -> np.ndarray:
     return np.asarray(img.convert("L"), dtype=np.uint8)
 
 
-def build_handler(server, max_body: int = 32 << 20):
-    """Bind a BaseHTTPRequestHandler subclass to a RecognitionServer."""
+def build_handler(server, page_server=None, max_body: int = 32 << 20):
+    """Bind a BaseHTTPRequestHandler subclass to a RecognitionServer
+    (and, when detection is enabled, a PageServer)."""
     from doc2tex_tpu.serving import ServerOverloaded
 
     class Handler(BaseHTTPRequestHandler):
@@ -63,12 +70,20 @@ def build_handler(server, max_body: int = 32 << 20):
             if self.path == "/healthz":
                 self._reply(200, {"ok": True})
             elif self.path == "/stats":
-                self._reply(200, server.stats())
+                st = (
+                    page_server.stats() if page_server is not None
+                    else server.stats()
+                )
+                self._reply(200, st)
             else:
                 self._reply(404, {"error": "unknown path"})
 
         def do_POST(self):  # noqa: N802
-            if self.path != "/recognize":
+            if self.path == "/recognize":
+                handler = self._handle_crop
+            elif self.path == "/recognize_page" and page_server is not None:
+                handler = self._handle_page
+            else:
                 self._reply(404, {"error": "unknown path"})
                 return
             length = int(self.headers.get("Content-Length", 0))
@@ -83,17 +98,27 @@ def build_handler(server, max_body: int = 32 << 20):
                 self._reply(400, {"error": f"undecodable image: {exc}"})
                 return
             try:
-                latex = server.recognize(image, timeout=120.0)
+                payload = handler(image)
             except ServerOverloaded as exc:
                 self._reply(503, {"error": str(exc)})
                 return
             except Exception as exc:  # noqa: BLE001
                 self._reply(500, {"error": str(exc)})
                 return
-            self._reply(
-                200,
-                {"latex": latex, "ms": round((time.monotonic() - t0) * 1e3, 1)},
-            )
+            payload["ms"] = round((time.monotonic() - t0) * 1e3, 1)
+            self._reply(200, payload)
+
+        def _handle_crop(self, image) -> dict:
+            return {"latex": server.recognize(image, timeout=120.0)}
+
+        def _handle_page(self, image) -> dict:
+            regions = page_server.recognize_page(image, timeout=300.0)
+            return {
+                "regions": [
+                    {"box": [int(v) for v in box], "latex": latex}
+                    for box, latex in regions
+                ]
+            }
 
         def log_message(self, fmt, *args):  # quiet by default
             pass
@@ -114,6 +139,14 @@ def main(argv=None) -> int:
     ap.add_argument("--max_batch", type=int, default=64)
     ap.add_argument("--window_ms", type=float, default=5.0)
     ap.add_argument("--max_queue", type=int, default=512)
+    ap.add_argument("--detect", action="store_true",
+                    help="enable POST /recognize_page: SSD detection per "
+                    "page, crops routed through the shared crop dispatcher")
+    ap.add_argument("--detect_weights", default=None,
+                    help="SSD checkpoint (default: in-repo released "
+                    "saved_models/math_detect weights)")
+    ap.add_argument("--stitch", action="store_true",
+                    help="voting-stitch page regions instead of NMS")
     ap.add_argument("--platform", default=None,
                     choices=["cpu", "tpu", "axon"],
                     help="force a jax platform (env JAX_PLATFORMS may be "
@@ -140,6 +173,19 @@ def main(argv=None) -> int:
         max_queue=args.max_queue,
     )
 
+    page_server = None
+    if args.detect:
+        import demo.app as demo_app
+        from doc2tex_tpu.serving import PageServer
+
+        app = demo_app.App(
+            detect_weights=args.detect_weights,
+            use_detect=True,
+            stitch=args.stitch,
+            recognizer=recog,  # share the crop recognizer — one model copy
+        )
+        page_server = PageServer(app.detect_and_crop, server)
+
     if args.selftest:
         from doc2tex_tpu.data.synthetic import synth_sample
 
@@ -158,13 +204,27 @@ def main(argv=None) -> int:
         for t in threads:
             t.join()
         dt = time.monotonic() - t0
+        stats = server.stats()
+        if page_server is not None:
+            # push a couple of synthetic "pages" through the page pipeline too
+            pages = [
+                np.full((640, 1280), 255, np.uint8) for _ in range(2)
+            ]
+            page_out = [
+                page_server.recognize_page(p, timeout=600.0) for p in pages
+            ]
+            stats = page_server.stats()
+            stats["selftest_pages"] = [len(r) for r in page_out]
+            page_server.close()
         server.close()
         assert all(isinstance(s, str) for s in out)
         print(json.dumps({"selftest": args.selftest,
-                          "wall_s": round(dt, 2), **server.stats()}))
+                          "wall_s": round(dt, 2), **stats}))
         return 0
 
-    httpd = ThreadingHTTPServer((args.host, args.port), build_handler(server))
+    httpd = ThreadingHTTPServer(
+        (args.host, args.port), build_handler(server, page_server=page_server)
+    )
     print(f"serving {args.model_version} on http://{args.host}:{args.port} "
           f"(beam={recog.beam_size}, max_batch={args.max_batch}, "
           f"window={args.window_ms}ms)", flush=True)
@@ -174,6 +234,8 @@ def main(argv=None) -> int:
         pass
     finally:
         httpd.shutdown()
+        if page_server is not None:
+            page_server.close()
         server.close()
     return 0
 

@@ -49,6 +49,7 @@ class App:
         conf_thresh: float = 0.5,
         stitch: bool = False,
         stitch_votes: float = 8,
+        recognizer=None,
     ):
         self.use_detect = use_detect
         # stitch=True replaces page-level NMS with the voting stitch the
@@ -74,8 +75,12 @@ class App:
                 )
         else:
             self.detector = None
-        self.recognizer = MathRecognition(
-            config=recog_config, weights_path=recog_weights
+        # recognizer: share an existing MathRecognition (e.g. the one a
+        # serving front already built) instead of loading a second copy
+        self.recognizer = (
+            recognizer
+            if recognizer is not None
+            else MathRecognition(config=recog_config, weights_path=recog_weights)
         )
 
     def __call__(self, page: np.ndarray):
@@ -83,6 +88,19 @@ class App:
             latex = self.recognizer(page)
             h, w = page.shape[:2]
             return [((0, 0, w, h), latex)]
+        boxes, crops = self.detect_and_crop(page)
+        latexes = self.recognizer(crops) if crops else []
+        return list(zip(boxes, latexes))
+
+    def detect_and_crop(self, page: np.ndarray):
+        """Detection half of the pipeline: page -> aligned
+        ``([original-scale boxes], [crop images])``.  Split out so a
+        serving front (:class:`doc2tex_tpu.serving.PageServer`) can route
+        the crops through a shared micro-batching recognizer while the
+        next page's detection proceeds."""
+        if not self.use_detect:
+            h, w = page.shape[:2]
+            return [(0, 0, w, h)], [page]
         resized, scale = detect_preprocess(page)
         if self.stitch:
             from doc2tex_tpu.detection.stitch import stitch_page
@@ -110,14 +128,11 @@ class App:
         # misalign every subsequent (box, latex) pair
         kept = [(b, c) for b, c in zip(boxes, crops) if c.size > 0]
         if not kept:
-            return []
-        boxes = [b for b, _ in kept]
-        latexes = self.recognizer([c for _, c in kept])
-        out = []
-        for box, latex in zip(boxes, latexes):
-            orig_box = tuple(int(round(v / scale)) for v in box)
-            out.append((orig_box, latex))
-        return out
+            return [], []
+        out_boxes = [
+            tuple(int(round(v / scale)) for v in b) for b, _ in kept
+        ]
+        return out_boxes, [c for _, c in kept]
 
 
 def _cli() -> None:

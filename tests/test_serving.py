@@ -16,6 +16,7 @@ import numpy as np
 import pytest
 
 from doc2tex_tpu.serving import (
+    PageServer,
     RecognitionServer,
     ServerClosed,
     ServerOverloaded,
@@ -148,6 +149,104 @@ class TestDispatcher:
         assert st["latency_p50_ms"] > 0
 
 
+def fake_detect_and_crop(page):
+    """Deterministic stand-in for App.detect_and_crop: one crop per
+    distinct value v in row 0, each crop an (8,8) field of v."""
+    values = sorted(set(int(v) for v in np.asarray(page)[0]))
+    boxes = [(v, 0, v + 8, 8) for v in values]
+    crops = [np.full((8, 8), v, np.uint8) for v in values]
+    return boxes, crops
+
+
+class TestPageServer:
+    def test_page_regions_roundtrip(self):
+        recog = FakeRecognizer()
+        with RecognitionServer(recog, batch_window_ms=5) as crop_srv:
+            ps = PageServer(fake_detect_and_crop, crop_srv)
+            page = np.zeros((4, 16), np.uint8)
+            page[0, :8] = 3
+            page[0, 8:] = 9
+            out = ps.recognize_page(page, timeout=10.0)
+            ps.close()
+        assert out == [((3, 0, 11, 8), "px3"), ((9, 0, 17, 8), "px9")]
+
+    def test_pages_share_crop_batches(self):
+        # Hold the dispatcher inside a warmup batch while two pages' crops
+        # queue up; on release they must coalesce into one decode batch.
+        gate = threading.Event()
+        recog = FakeRecognizer(gate=gate)
+        crop_srv = RecognitionServer(recog, max_batch=64, batch_window_ms=0)
+        try:
+            warm = crop_srv.submit(np.zeros((2, 2), np.uint8))
+            assert recog.entered.wait(timeout=5.0)
+            ps = PageServer(fake_detect_and_crop, crop_srv)
+            pages = []
+            for base in (10, 20):
+                page = np.zeros((4, 16), np.uint8)
+                page[0, :8] = base
+                page[0, 8:] = base + 1
+                pages.append(ps.submit_page(page))
+            # wait until both pages' crops are queued behind the gate
+            deadline = time.monotonic() + 5.0
+            while crop_srv.stats()["queue_depth"] < 4:
+                assert time.monotonic() < deadline
+                time.sleep(0.002)
+            gate.set()
+            assert warm.result(timeout=10.0) == "px0"
+            assert [lx for _, lx in pages[0].result(timeout=10.0)] == [
+                "px10", "px11"
+            ]
+            assert [lx for _, lx in pages[1].result(timeout=10.0)] == [
+                "px20", "px21"
+            ]
+            ps.close()
+        finally:
+            crop_srv.close()
+        # batch #1 = warmup alone; batch #2 = all four crops coalesced
+        assert recog.batches == [1, 4]
+
+    def test_empty_page(self):
+        with RecognitionServer(FakeRecognizer(), batch_window_ms=0) as crop_srv:
+            ps = PageServer(lambda page: ([], []), crop_srv)
+            assert ps.recognize_page(np.zeros((4, 4), np.uint8),
+                                     timeout=10.0) == []
+            assert ps.stats()["pages"] == 1
+            ps.close()
+
+    def test_detect_error_propagates(self):
+        def boom(page):
+            raise RuntimeError("detector exploded")
+
+        with RecognitionServer(FakeRecognizer(), batch_window_ms=0) as crop_srv:
+            ps = PageServer(boom, crop_srv)
+            with pytest.raises(RuntimeError, match="detector exploded"):
+                ps.recognize_page(np.zeros((4, 4), np.uint8), timeout=10.0)
+            ps.close()
+
+    def test_crop_error_propagates_to_page(self):
+        def flaky(images):
+            raise ValueError("decode failed")
+
+        with RecognitionServer(flaky, batch_window_ms=0) as crop_srv:
+            ps = PageServer(fake_detect_and_crop, crop_srv)
+            page = np.zeros((4, 8), np.uint8)
+            page[0, :] = 5
+            with pytest.raises(ValueError, match="decode failed"):
+                ps.recognize_page(page, timeout=10.0)
+            ps.close()
+
+    def test_submit_after_close_raises(self):
+        with RecognitionServer(FakeRecognizer(), batch_window_ms=0) as crop_srv:
+            ps = PageServer(fake_detect_and_crop, crop_srv)
+            ps.close()
+            with pytest.raises(ServerClosed):
+                ps.submit_page(np.zeros((2, 2), np.uint8))
+            # closing the page server leaves the shared crop server usable
+            assert crop_srv.recognize(
+                np.zeros((2, 2), np.uint8), timeout=10.0
+            ) == "px0"
+
+
 class TestHTTPFront:
     @pytest.fixture()
     def http_server(self):
@@ -222,6 +321,63 @@ class TestHTTPFront:
         conn = HTTPConnection("127.0.0.1", port, timeout=10)
         conn.request("POST", "/recognize", body=b"not an image")
         assert conn.getresponse().status == 400
+
+    def test_recognize_page_404_without_detect(self, http_server):
+        port, _ = http_server
+        conn = HTTPConnection("127.0.0.1", port, timeout=10)
+        conn.request("POST", "/recognize_page", body=self._png_bytes(1))
+        assert conn.getresponse().status == 404
+
+
+class TestHTTPPageFront:
+    @pytest.fixture()
+    def http_server(self):
+        import sys, os  # noqa: E401
+
+        sys.path.insert(
+            0,
+            os.path.join(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                "api",
+            ),
+        )
+        from serve import build_handler
+
+        recog = FakeRecognizer()
+        srv = RecognitionServer(recog, batch_window_ms=5)
+        ps = PageServer(fake_detect_and_crop, srv)
+        httpd = ThreadingHTTPServer(
+            ("127.0.0.1", 0), build_handler(srv, page_server=ps)
+        )
+        thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+        thread.start()
+        yield httpd.server_address[1]
+        httpd.shutdown()
+        ps.close()
+        srv.close()
+
+    def test_page_roundtrip(self, http_server):
+        from PIL import Image
+
+        page = np.zeros((8, 16), np.uint8)
+        page[0, :8] = 4
+        page[0, 8:] = 7
+        buf = io.BytesIO()
+        Image.fromarray(page).save(buf, "PNG")
+        conn = HTTPConnection("127.0.0.1", http_server, timeout=15)
+        conn.request("POST", "/recognize_page", body=buf.getvalue())
+        resp = conn.getresponse()
+        body = json.loads(resp.read())
+        assert resp.status == 200
+        assert body["regions"] == [
+            {"box": [4, 0, 12, 8], "latex": "px4"},
+            {"box": [7, 0, 15, 8], "latex": "px7"},
+        ]
+        # /stats now reports the page-server shape
+        conn.request("GET", "/stats")
+        st = json.loads(conn.getresponse().read())
+        assert st["pages"] == 1 and st["regions"] == 2
+        assert "requests" in st["crop_server"]
 
 
 class TestEndToEndTinyModel:

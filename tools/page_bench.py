@@ -20,7 +20,14 @@ Workload notes (identical on both sides):
     is not); detection QUALITY is scored separately
     (tools/detection_soak.py: CROHME coarse F 0.79).
 
-Run: python tools/page_bench.py [--pages 12] [--quick] [--stitch]
+``--serve`` runs the same workload through the serving pipeline
+(:class:`doc2tex_tpu.serving.PageServer`): all pages are submitted up
+front, detection of page N+1 overlaps recognition of page N on the
+device, and crops from concurrent pages coalesce into shared decode
+batches — the pages/sec delta vs the sequential loop is the measured
+value of the serving overlap.
+
+Run: python tools/page_bench.py [--pages 12] [--quick] [--stitch] [--serve]
 """
 
 from __future__ import annotations
@@ -71,6 +78,9 @@ def main() -> None:
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--stitch", action="store_true",
                     help="voting stitch instead of page NMS")
+    ap.add_argument("--serve", action="store_true",
+                    help="overlapped serving pipeline (PageServer) instead "
+                    "of the sequential demo loop")
     ap.add_argument("--beam", type=int, default=None,
                     help="override the demo contract's beam size")
     args = ap.parse_args()
@@ -133,21 +143,60 @@ def main() -> None:
     compile_s = time.perf_counter() - t0
     print(f"compile+first page: {compile_s:.1f}s", file=sys.stderr)
 
-    det_t = rec_t = 0.0
-    n_crops = 0
-    t_all0 = time.perf_counter()
-    for page, boxes in pages:
-        td, tr, nb, _ = run_page(page, boxes)
-        det_t += td
-        rec_t += tr
-        n_crops += len(boxes)
-    wall = time.perf_counter() - t_all0
+    extra = {}
+    if args.serve:
+        # overlapped pipeline: detection of page N+1 runs while page N's
+        # crops decode; crops from concurrent pages share decode batches
+        from doc2tex_tpu.serving import PageServer, RecognitionServer
+
+        gt = {id(p): b for p, b in pages}
+
+        def detect_and_crop(page):
+            if args.stitch:
+                raw_b, raw_s = detector.detect_page(page, raw=True)
+                bs = (
+                    np.concatenate([raw_b, raw_s[:, None]], axis=1)
+                    if len(raw_b) else np.zeros((0, 5), np.float32)
+                )
+                stitch_page(bs, page.shape[:2], page_image=page)
+            else:
+                detector.detect_page(page)
+            # deterministic workload: recognize the gt crops (module doc)
+            boxes = gt[id(page)]
+            crops = [page[y1:y2, x1:x2] for (x1, y1, x2, y2) in boxes]
+            return boxes, crops
+
+        crop_srv = RecognitionServer(
+            recognizer, max_batch=64, batch_window_ms=5.0
+        )
+        ps = PageServer(detect_and_crop, crop_srv, max_queue=max(n_pages, 32))
+        t_all0 = time.perf_counter()
+        futs = [ps.submit_page(p) for p, _ in pages]
+        outs = [f.result(timeout=3600) for f in futs]
+        wall = time.perf_counter() - t_all0
+        n_crops = sum(len(o) for o in outs)
+        st = ps.stats()
+        ps.close()
+        crop_srv.close()
+        extra = {"avg_decode_batch": st["crop_server"]["avg_batch"]}
+        det_t = rec_t = None
+    else:
+        det_t = rec_t = 0.0
+        n_crops = 0
+        t_all0 = time.perf_counter()
+        for page, boxes in pages:
+            td, tr, nb, _ = run_page(page, boxes)
+            det_t += td
+            rec_t += tr
+            n_crops += len(boxes)
+        wall = time.perf_counter() - t_all0
     pps = n_pages / wall
 
     result = {
         "metric": (
             "full-page pipeline pages/sec (detect+NMS"
             + ("/stitch" if args.stitch else "")
+            + (", overlapped serving" if args.serve else "")
             + f" -> crop -> beam-{beam} recognition, "
             f"{PAGE_H}x{PAGE_W} pages)"
         ),
@@ -155,9 +204,11 @@ def main() -> None:
         "unit": "pages/sec",
         "pages": n_pages,
         "crops": n_crops,
-        "detect_ms_per_page": round(det_t / n_pages * 1e3, 1),
-        "recognize_ms_per_page": round(rec_t / n_pages * 1e3, 1),
+        **extra,
     }
+    if det_t is not None:
+        result["detect_ms_per_page"] = round(det_t / n_pages * 1e3, 1)
+        result["recognize_ms_per_page"] = round(rec_t / n_pages * 1e3, 1)
     base_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
         "page_baseline_measured.json",
