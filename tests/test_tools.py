@@ -362,3 +362,62 @@ class TestPureLmdbFormat:
                 f.write(b"\x00\x00\x00\x00")
         with pytest.raises(ValueError):
             PyLmdbReader(root)
+
+class TestInspectImages:
+    def test_inspect_images_merge_and_split(self, tmp_path):
+        """Visual inspection drivers: gold-over-pred compare sheets
+        (reference merge_img.py:12-58) and match/un_match folder split
+        (reference split_image_folder.py:7-35)."""
+        import numpy as np
+        import pytest
+
+        pytest.importorskip("PIL")
+        from PIL import Image
+
+        from tools.inspect_images import (
+            build_compare_sheets,
+            split_by_match,
+            vstack_autopad,
+        )
+
+        # vstack_autopad: mixed widths right-padded, grayscale -> RGB
+        a = np.full((4, 6), 10, np.uint8)
+        b = np.full((3, 9, 3), 20, np.uint8)
+        sheet = vstack_autopad((a, b), pad_value=7)
+        assert sheet.shape == (7, 9, 3)
+        assert (sheet[:4, :6] == 10).all() and (sheet[:4, 6:] == 7).all()
+        assert (sheet[4:, :, :] == 20).all()
+
+        gold = tmp_path / "gold"
+        pred = tmp_path / "pred"
+        gold.mkdir(); pred.mkdir()
+        for i in range(3):
+            img = np.full((8, 10 + 4 * i), 100 + i, np.uint8)
+            Image.fromarray(img).save(gold / f"f{i}.png")
+            if i < 2:  # f2 has no pred render -> skipped
+                Image.fromarray(img // 2).save(pred / f"f{i}.png")
+        out = tmp_path / "sheets"
+        n = build_compare_sheets(str(pred), str(gold), str(out))
+        assert n == 2
+        s0 = np.asarray(Image.open(out / "f0.png"))
+        assert s0.shape[0] == 16  # gold stacked above pred
+        assert not (out / "f2.png").exists()
+
+        # split: un_match list fans renders into sibling dirs
+        renders = tmp_path / "renders"
+        renders.mkdir()
+        for i in range(4):
+            Image.fromarray(np.zeros((4, 4), np.uint8)).save(
+                renders / f"f{i}.png"
+            )
+        lst = tmp_path / "unmatched_filenames.txt"
+        lst.write_text("some/dir/f1.png\nf3.png\n")
+        counts = split_by_match(str(lst), str(renders))
+        assert counts == {"match": 2, "un_match": 2}
+        assert sorted(p.name for p in (tmp_path / "un_match").iterdir()) == [
+            "f1.png", "f3.png"
+        ]
+        assert sorted(p.name for p in (tmp_path / "match").iterdir()) == [
+            "f0.png", "f2.png"
+        ]
+        assert renders.exists()  # not deleted without rm_input
