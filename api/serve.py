@@ -32,7 +32,6 @@ import argparse
 import io
 import json
 import sys
-import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from pathlib import Path
@@ -152,14 +151,22 @@ def main(argv=None) -> int:
                     help="force a jax platform (env JAX_PLATFORMS may be "
                     "pinned; this applies the post-import update)")
     ap.add_argument("--selftest", type=int, default=0, metavar="N",
-                    help="skip HTTP: push N synthetic crops through the "
-                    "dispatcher from 4 threads and print stats")
+                    help="skip HTTP: submit N synthetic crops to the "
+                    "dispatcher open-loop and print stats")
     args = ap.parse_args(argv)
 
-    if args.platform:
-        import jax
+    import jax
 
+    if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    try:
+        # persistent compile cache: the dispatcher compiles one decode
+        # program per (bucket, batch) shape as traffic ramps the batch
+        # ladder — serve restarts should pay that only once per machine
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
     from doc2tex_tpu.recognition.flow import MathRecognition, load_recog_config
     from doc2tex_tpu.serving import RecognitionServer
@@ -171,6 +178,8 @@ def main(argv=None) -> int:
         max_batch=args.max_batch,
         batch_window_ms=args.window_ms,
         max_queue=args.max_queue,
+        bucket_key=recog.bucket_key,  # shape-pure batches: one decode
+        # invocation per dispatch instead of one per bucket in the mix
     )
 
     page_server = None
@@ -191,18 +200,12 @@ def main(argv=None) -> int:
 
         rng = np.random.default_rng(0)
         crops = [synth_sample(rng)[0] for _ in range(args.selftest)]
-        out: list = [None] * len(crops)
-
-        def worker(lane: int) -> None:
-            for i in range(lane, len(crops), 4):
-                out[i] = server.recognize(crops[i], timeout=600.0)
-
+        # open-loop load: submit everything up front so the dispatcher
+        # actually coalesces (a closed loop of N blocking threads caps
+        # every batch at N and measures the load generator, not the server)
         t0 = time.monotonic()
-        threads = [threading.Thread(target=worker, args=(k,)) for k in range(4)]
-        for t in threads:
-            t.start()
-        for t in threads:
-            t.join()
+        futures = [server.submit(c) for c in crops]
+        out = [f.result(timeout=1800.0) for f in futures]
         dt = time.monotonic() - t0
         stats = server.stats()
         if page_server is not None:

@@ -7,11 +7,17 @@ resize page to width 1280, roll 512x512 windows stride 128, mean-subtract
 window->page coordinate unmap, page-level NMS IoU 0.1, 5% box expansion.
 
 TPU-native: the SSD forward + decode + per-window NMS is one jitted
-program over the whole window batch.
+program over the whole window batch, and (``device_windows``, default)
+the sliding windows are extracted ON DEVICE from a single uint8 page
+upload — the host-side window batch shipped every page pixel ~16x
+(overlapping 512x512 windows at stride 128) over the tunnel; the page
+itself is ~1.3 MB.  Page dims are white-padded up to a 256-pixel ladder
+so the compiled program set stays bounded across document heights.
 """
 
 from __future__ import annotations
 
+import math
 from functools import partial
 from typing import Optional
 
@@ -38,6 +44,7 @@ class MathDetector:
         batch_size: int = 32,
         seed: int = 0,
         weights_path: Optional[str] = None,
+        device_windows: bool = True,
     ):
         self.model = SSD512(num_classes=2)
         self.priors = jnp.asarray(make_priors(MATH_GTDB_512))
@@ -63,10 +70,13 @@ class MathDetector:
             if stats is not None:
                 variables["batch_stats"] = stats
         self.variables = variables
+        self.device_windows = device_windows
         # priors as a jit ARG (not closure constant) keeps the serialized
         # module small enough for the remote-compile size limit
         jitted = jax.jit(self._detect_impl)
         self._detect = lambda v, x: jitted(v, x, self.priors)
+        jitted_page = jax.jit(self._detect_page_impl)
+        self._detect_full_page = lambda v, p: jitted_page(v, p, self.priors)
         # page-level NMS runs jitted at a FIXED (cap, top_k) shape — eager
         # lax ops dispatch one-by-one over the tunnel (~2 s each), and a
         # per-page variable box count would force a fresh compile per page
@@ -88,6 +98,56 @@ class MathDetector:
             conf_thresh=self.conf_thresh, iou_thresh=self.iou_thresh,
         )
 
+    def _grid(self, H: int, W: int) -> list[tuple[int, int, int, int]]:
+        """The rolling-window origin grid: same [(x0, y0, w, h), ...] info
+        list ``rolling_windows`` produces (windows.py:25-38)."""
+        win, (sy, sx) = self.window, self.stride
+        ny = max(math.ceil((H - win) / sy) + 1, 1)
+        nx = max(math.ceil((W - win) / sx) + 1, 1)
+        info = []
+        for i in range(ny):
+            for j in range(nx):
+                x0, y0 = j * sx, i * sy
+                info.append(
+                    (x0, y0, min(x0 + win, W) - x0, min(y0 + win, H) - y0)
+                )
+        return info
+
+    def _detect_page_impl(self, variables, page_u8, priors):
+        """Window extraction ON DEVICE: one uint8 page upload instead of
+        the ~16x-redundant host window batch.  The grid is static given
+        the page shape; each window is a static slice center-padded with
+        white exactly like ``rolling_windows`` (windows.py:30-38), so this
+        path is bit-identical to the host extraction."""
+        H, W = page_u8.shape[:2]
+        win = self.window
+        wins = []
+        for x0, y0, w, h in self._grid(H, W):
+            content = jax.lax.slice(
+                page_u8, (y0, x0, 0), (y0 + h, x0 + w, page_u8.shape[2])
+            )
+            xc, yc = (win - w) // 2, (win - h) // 2
+            wins.append(jnp.pad(
+                content,
+                ((yc, win - h - yc), (xc, win - w - xc), (0, 0)),
+                constant_values=np.uint8(255),
+            ))
+        return self._detect_impl(variables, jnp.stack(wins), priors)
+
+    @staticmethod
+    def _snap_page(page: np.ndarray, quantum: int = 256, min_dim: int = 512):
+        """White-pad page dims up to the compile ladder (multiples of
+        ``quantum``, at least the window size)."""
+        H, W = page.shape[:2]
+        Hp = max(min_dim, -(-H // quantum) * quantum)
+        Wp = max(min_dim, -(-W // quantum) * quantum)
+        if (Hp, Wp) == (H, W):
+            return page
+        pad = [(0, Hp - H), (0, Wp - W)] + (
+            [(0, 0)] if page.ndim == 3 else []
+        )
+        return np.pad(page, pad, constant_values=255)
+
     def detect_page(
         self,
         page: np.ndarray,
@@ -100,25 +160,50 @@ class MathDetector:
         (per-window conf_thresh/NMS/top-k inside ``_detect`` still apply)
         — the input the voting stitch wants (stitch.py dedups by voting,
         so page-level truncation would silently drop low-score regions)."""
-        windows, info = rolling_windows(page, self.stride, self.window)
-        all_boxes, all_scores = [], []
-        B = self.batch_size
-        for s in range(0, len(windows), B):
-            chunk = windows[s : s + B]
-            pad = B - len(chunk)
-            if pad:
-                chunk = np.concatenate(
-                    [chunk, np.full((pad, *chunk.shape[1:]), 255, np.uint8)]
-                )
-            boxes, scores = self._detect(self.variables, jnp.asarray(chunk))
-            all_boxes.append(np.asarray(boxes)[: len(chunk) - pad or None])
-            all_scores.append(np.asarray(scores)[: len(chunk) - pad or None])
-        boxes = np.concatenate(all_boxes)
-        scores = np.concatenate(all_scores)
+        H0, W0 = page.shape[:2]
+        if self.device_windows:
+            # ship the page once; extract windows on device.  The ladder
+            # pad means detection runs on a white-extended page — window
+            # contents near the original border differ from the unpadded
+            # grid's center-padding, but boxes are clipped back below.
+            padded = self._snap_page(page)
+            if padded.ndim == 2:
+                padded = padded[..., None]
+            info = self._grid(*padded.shape[:2])
+            boxes, scores = self._detect_full_page(
+                self.variables, jnp.asarray(padded)
+            )
+            boxes, scores = np.asarray(boxes), np.asarray(scores)
+        else:
+            windows, info = rolling_windows(page, self.stride, self.window)
+            all_boxes, all_scores = [], []
+            B = self.batch_size
+            for s in range(0, len(windows), B):
+                chunk = windows[s : s + B]
+                pad = B - len(chunk)
+                if pad:
+                    chunk = np.concatenate(
+                        [chunk,
+                         np.full((pad, *chunk.shape[1:]), 255, np.uint8)]
+                    )
+                b, sc = self._detect(self.variables, jnp.asarray(chunk))
+                all_boxes.append(np.asarray(b)[: len(chunk) - pad or None])
+                all_scores.append(np.asarray(sc)[: len(chunk) - pad or None])
+            boxes = np.concatenate(all_boxes)
+            scores = np.concatenate(all_scores)
 
         page_boxes, page_scores = unmap_boxes(
             boxes, scores, info, self.window, score_thresh=0.0
         )
+        if self.device_windows and len(page_boxes):
+            # clip to the ORIGINAL page and drop boxes living in the pad
+            page_boxes[:, 0::2] = np.clip(page_boxes[:, 0::2], 0, W0)
+            page_boxes[:, 1::2] = np.clip(page_boxes[:, 1::2], 0, H0)
+            keep = (
+                (page_boxes[:, 2] - page_boxes[:, 0] >= 2)
+                & (page_boxes[:, 3] - page_boxes[:, 1] >= 2)
+            )
+            page_boxes, page_scores = page_boxes[keep], page_scores[keep]
         if raw or len(page_boxes) == 0:
             return page_boxes, page_scores
         # page-level NMS (reference demo/app.py:152, IoU 0.1)

@@ -165,6 +165,33 @@ class MathRecognition:
             )
         return self._decode_cache[key]
 
+    def bucket_key(self, image: np.ndarray):
+        """The bucket this crop will decode in — pure shape arithmetic
+        (mirrors ``resize_for_inference`` + the ladder lookup in
+        ``__call__``), cheap enough to run per request at submit time.
+        Lets a serving front (:class:`~doc2tex_tpu.serving
+        .RecognitionServer` ``bucket_key=``) form shape-pure batches so a
+        dispatcher batch is ONE decode invocation instead of one per
+        bucket."""
+        from ..transforms.preprocess import minmax_size
+
+        h, w = image.shape[:2]
+        cfg = self.config
+        ds = cfg.get("downsample", 1) or 1
+        if (
+            ds > 1
+            and h / ds >= cfg["min_dimension"][0]
+            and w / ds >= cfg["min_dimension"][1]
+        ):
+            h, w = int(h / ds), int(w / ds)
+        h, w = minmax_size(
+            h, w, tuple(cfg["max_dimension"]), tuple(cfg["min_dimension"])
+        )
+        sf = cfg.get("scale_factor", 32)
+        h, w = -(-h // sf) * sf, -(-w // sf) * sf
+        bucket = self.table.lookup(h, w)
+        return bucket if bucket is not None else self.table.shapes[-1]
+
     def _preprocess(self, image: np.ndarray) -> np.ndarray:
         if image.ndim == 3:
             image = np.round(

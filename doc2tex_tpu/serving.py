@@ -47,12 +47,13 @@ class ServerOverloaded(RuntimeError):
 
 
 class _Request:
-    __slots__ = ("image", "future", "t_submit")
+    __slots__ = ("image", "future", "t_submit", "key")
 
-    def __init__(self, image: np.ndarray):
+    def __init__(self, image: np.ndarray, key=None):
         self.image = image
         self.future: Future = Future()
         self.t_submit = time.monotonic()
+        self.key = key
 
 
 class RecognitionServer:
@@ -73,6 +74,18 @@ class RecognitionServer:
     max_queue:
         Bound on queued (not yet dispatched) requests; ``submit`` raises
         :class:`ServerOverloaded` beyond it.
+    bucket_key:
+        Optional ``image -> hashable`` (e.g.
+        :meth:`MathRecognition.bucket_key`, pure shape math).  When set,
+        the dispatcher forms SHAPE-PURE batches: the oldest request's
+        bucket, filled with same-bucket companions up to ``max_batch``;
+        other buckets stay pending and keep accumulating.  Without it, a
+        mixed-size batch fragments inside the recognizer into one decode
+        invocation per bucket — and invocation cost is nearly flat in
+        batch size (decode is latency-bound), so fragmentation, not batch
+        size, is what caps throughput.  Oldest-first selection bounds
+        every request's wait at ~(#live buckets) batch times — no
+        starvation.
     """
 
     def __init__(
@@ -81,10 +94,13 @@ class RecognitionServer:
         max_batch: int = 64,
         batch_window_ms: float = 5.0,
         max_queue: int = 512,
+        bucket_key: Optional[Callable[[np.ndarray], object]] = None,
     ):
         if max_batch < 1:
             raise ValueError("max_batch must be >= 1")
         self.recognizer = recognizer
+        self.bucket_key = bucket_key
+        self._pending: list = []  # dispatcher-thread only (stats read len)
         self.max_batch = int(max_batch)
         self.window_s = float(batch_window_ms) / 1e3
         self._queue: Queue = Queue(maxsize=max_queue)
@@ -109,7 +125,9 @@ class RecognitionServer:
         """Enqueue one crop; returns a Future resolving to its LaTeX."""
         if self._closed:
             raise ServerClosed("server is closed")
-        req = _Request(np.asarray(image))
+        image = np.asarray(image)
+        key = self.bucket_key(image) if self.bucket_key is not None else None
+        req = _Request(image, key=key)
         try:
             self._queue.put_nowait(req)
         except Full:
@@ -142,7 +160,7 @@ class RecognitionServer:
                 "completed": done,
                 "batches": self._n_batches,
                 "errors": self._n_errors,
-                "queue_depth": self._queue.qsize(),
+                "queue_depth": self._queue.qsize() + len(self._pending),
                 "uptime_s": round(time.monotonic() - self._t_start, 3),
                 "avg_batch": (
                     round(statistics.fmean(self._batch_sizes), 2)
@@ -164,16 +182,21 @@ class RecognitionServer:
         self._closed = True
         if drain:
             deadline = time.monotonic() + timeout
-            while not self._queue.empty() and time.monotonic() < deadline:
+            while (
+                not self._queue.empty() or self._pending
+            ) and time.monotonic() < deadline:
                 time.sleep(0.005)
         self._stop = True
         self._thread.join(timeout=timeout)
-        # fail anything still queued
+        # fail anything still queued or pending
+        leftovers = list(self._pending)
+        self._pending.clear()
         while True:
             try:
-                req = self._queue.get_nowait()
+                leftovers.append(self._queue.get_nowait())
             except Empty:
                 break
+        for req in leftovers:
             if not req.future.done():
                 req.future.set_exception(ServerClosed("server shut down"))
 
@@ -189,27 +212,50 @@ class RecognitionServer:
     _stop = False
 
     def _dispatch_loop(self) -> None:
+        pending = self._pending
         while not self._stop:
-            try:
-                first = self._queue.get(timeout=0.05)
-            except Empty:
-                continue
-            batch = [first]
-            deadline = time.monotonic() + self.window_s
-            while len(batch) < self.max_batch:
+            if not pending:
+                try:
+                    pending.append(self._queue.get(timeout=0.05))
+                except Empty:
+                    continue
+                # hold the window open after a fresh first arrival
+                deadline = time.monotonic() + self.window_s
+            else:
+                # backlog exists: no extra waiting, just drain arrivals
+                deadline = time.monotonic()
+            cap = self._queue.maxsize or 0
+            while cap <= 0 or len(pending) < cap:
                 remaining = deadline - time.monotonic()
                 if remaining > 0:
                     try:
-                        batch.append(self._queue.get(timeout=remaining))
+                        pending.append(self._queue.get(timeout=remaining))
                         continue
                     except Empty:
                         break
-                # window elapsed: take only what is already waiting
                 try:
-                    batch.append(self._queue.get_nowait())
+                    pending.append(self._queue.get_nowait())
                 except Empty:
                     break
-            self._run_batch(batch)
+            self._run_batch(self._select_batch())
+
+    def _select_batch(self) -> list:
+        """Oldest request's bucket, filled up to max_batch (shape-pure
+        when ``bucket_key`` is set; plain FIFO prefix otherwise)."""
+        pending = self._pending
+        if self.bucket_key is None:
+            batch = pending[: self.max_batch]
+            del pending[: len(batch)]
+            return batch
+        key0 = pending[0].key
+        batch, rest = [], []
+        for r in pending:
+            if r.key == key0 and len(batch) < self.max_batch:
+                batch.append(r)
+            else:
+                rest.append(r)
+        pending[:] = rest
+        return batch
 
     def _run_batch(self, batch: list) -> None:
         try:

@@ -291,3 +291,47 @@ class TestStitchRgbAndRaw:
         nms_b, nms_s = det.detect_page(page)
         # raw returns at least as many detections as the NMS'd path
         assert len(raw_b) >= len(nms_b)
+
+
+class TestDeviceWindows:
+    def test_device_extraction_matches_host_path(self):
+        """Device-side window extraction (one page upload, static slices +
+        centered white pad inside jit) must reproduce the host
+        rolling_windows path bit-exactly on a ladder-aligned page."""
+        from doc2tex_tpu.detection.flow import MathDetector
+
+        page = np.full((512, 768), 255, np.uint8)
+        page[100:160, 50:400] = 0
+        page[300:340, 500:700] = 0
+        det_host = MathDetector(conf_thresh=0.01, stride=(512, 512),
+                                batch_size=2, device_windows=False)
+        det_dev = MathDetector(conf_thresh=0.01, stride=(512, 512),
+                               batch_size=2, device_windows=True,
+                               variables=det_host.variables)
+        hb, hs = det_host.detect_page(page)
+        db, ds = det_dev.detect_page(page)
+        np.testing.assert_array_equal(db, hb)
+        np.testing.assert_array_equal(ds, hs)
+        # raw path too (the stitch input)
+        hb, hs = det_host.detect_page(page, raw=True)
+        db, ds = det_dev.detect_page(page, raw=True)
+        np.testing.assert_array_equal(db, hb)
+        np.testing.assert_array_equal(ds, hs)
+
+    def test_ladder_pad_clips_to_original_page(self):
+        """An off-ladder page is white-padded up to the compile ladder;
+        every returned box must still land inside the ORIGINAL page."""
+        from doc2tex_tpu.detection.flow import MathDetector
+
+        page = np.full((600, 700), 255, np.uint8)
+        page[100:160, 50:400] = 0
+        det = MathDetector(conf_thresh=0.01, stride=(512, 512),
+                           batch_size=2)
+        assert det._snap_page(page).shape == (768, 768)
+        boxes, scores = det.detect_page(page)
+        assert len(boxes) == len(scores)
+        if len(boxes):
+            assert (boxes[:, 0::2] <= 700).all()
+            assert (boxes[:, 1::2] <= 600).all()
+            assert (boxes[:, 2] - boxes[:, 0] >= 2).all()
+            assert (boxes[:, 3] - boxes[:, 1] >= 2).all()

@@ -149,6 +149,87 @@ class TestDispatcher:
         assert st["latency_p50_ms"] > 0
 
 
+class TestBucketAwareDispatch:
+    def test_batches_are_shape_pure(self):
+        # Interleaved shapes queue behind a gated warmup; on release the
+        # dispatcher must emit shape-pure batches (oldest bucket first),
+        # not one mixed batch.
+        gate = threading.Event()
+        shapes_seen = []
+
+        class ShapeRecognizer(FakeRecognizer):
+            def __call__(self, images):
+                shapes_seen.append({im.shape for im in images})
+                return super().__call__(images)
+
+        recog = ShapeRecognizer(gate=gate)
+        srv = RecognitionServer(
+            recog, max_batch=64, batch_window_ms=0,
+            bucket_key=lambda im: im.shape,
+        )
+        try:
+            warm = srv.submit(np.zeros((2, 2), np.uint8))
+            assert recog.entered.wait(timeout=5.0)
+            futs = []
+            for v in range(12):
+                shape = (4, 4) if v % 2 == 0 else (8, 8)
+                futs.append(srv.submit(np.full(shape, v, np.uint8)))
+            gate.set()
+            assert warm.result(timeout=10.0) == "px0"
+            assert [f.result(timeout=10.0) for f in futs] == [
+                f"px{v}" for v in range(12)
+            ]
+        finally:
+            srv.close()
+        # every dispatched batch contains exactly one shape
+        assert all(len(s) == 1 for s in shapes_seen)
+        # the 12 queued crops needed only 2 batches (6 + 6), not 12
+        assert recog.batches[1:] == [6, 6]
+
+    def test_oldest_bucket_goes_first_and_none_starve(self):
+        gate = threading.Event()
+        recog = FakeRecognizer(gate=gate)
+        srv = RecognitionServer(
+            recog, max_batch=4, batch_window_ms=0,
+            bucket_key=lambda im: im.shape,
+        )
+        try:
+            warm = srv.submit(np.zeros((2, 2), np.uint8))
+            assert recog.entered.wait(timeout=5.0)
+            # rare bucket first, then a flood of another bucket
+            rare = srv.submit(np.full((16, 16), 9, np.uint8))
+            flood = [
+                srv.submit(np.full((4, 4), v, np.uint8)) for v in range(8)
+            ]
+            gate.set()
+            assert warm.result(timeout=10.0) == "px0"
+            assert rare.result(timeout=10.0) == "px9"
+            assert [f.result(timeout=10.0) for f in flood] == [
+                f"px{v}" for v in range(8)
+            ]
+        finally:
+            srv.close()
+        # rare singleton dispatched before the flood (it is oldest)
+        assert recog.batches[1] == 1
+        assert max(recog.batches) <= 4
+
+    def test_recognizer_bucket_key_matches_internal_grouping(self):
+        from tests.test_loader_engine import small_config
+        from doc2tex_tpu.recognition.flow import MathRecognition
+        from doc2tex_tpu.data.synthetic import synth_sample
+
+        cfg = small_config()
+        recog = MathRecognition(cfg, beam_size=1, use_clahe=False)
+        rng = np.random.default_rng(7)
+        for _ in range(20):
+            crop, _ = synth_sample(rng)
+            img = recog._preprocess(crop)
+            bucket = recog.table.lookup(*img.shape[:2])
+            if bucket is None:
+                bucket = recog.table.shapes[-1]
+            assert recog.bucket_key(crop) == bucket
+
+
 def fake_detect_and_crop(page):
     """Deterministic stand-in for App.detect_and_crop: one crop per
     distinct value v in row 0, each crop an (8,8) field of v."""

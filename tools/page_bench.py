@@ -167,7 +167,8 @@ def main() -> None:
             return boxes, crops
 
         crop_srv = RecognitionServer(
-            recognizer, max_batch=64, batch_window_ms=5.0
+            recognizer, max_batch=64, batch_window_ms=5.0,
+            bucket_key=recognizer.bucket_key,
         )
         ps = PageServer(detect_and_crop, crop_srv, max_queue=max(n_pages, 32))
         # full untimed pass: the coalesced (bucket, batch) decode shapes
