@@ -153,6 +153,10 @@ def main(argv=None) -> int:
     ap.add_argument("--selftest", type=int, default=0, metavar="N",
                     help="skip HTTP: submit N synthetic crops to the "
                     "dispatcher open-loop and print stats")
+    ap.add_argument("--selftest_rate", type=float, default=0.0,
+                    metavar="RPS", help="pace selftest submissions at this "
+                    "rate (0 = burst). A paced run below capacity measures "
+                    "ONLINE latency; a burst p50 only measures queueing")
     args = ap.parse_args(argv)
 
     import jax
@@ -200,11 +204,19 @@ def main(argv=None) -> int:
 
         rng = np.random.default_rng(0)
         crops = [synth_sample(rng)[0] for _ in range(args.selftest)]
-        # open-loop load: submit everything up front so the dispatcher
-        # actually coalesces (a closed loop of N blocking threads caps
-        # every batch at N and measures the load generator, not the server)
+        # open-loop load: submit everything up front (burst) or paced at
+        # --selftest_rate, so the dispatcher actually coalesces (a closed
+        # loop of N blocking threads caps every batch at N and measures
+        # the load generator, not the server)
         t0 = time.monotonic()
-        futures = [server.submit(c) for c in crops]
+        futures = []
+        for i, c in enumerate(crops):
+            if args.selftest_rate > 0:
+                target = t0 + i / args.selftest_rate
+                delay = target - time.monotonic()
+                if delay > 0:
+                    time.sleep(delay)
+            futures.append(server.submit(c))
         out = [f.result(timeout=1800.0) for f in futures]
         dt = time.monotonic() - t0
         stats = server.stats()

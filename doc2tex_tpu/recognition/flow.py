@@ -47,10 +47,18 @@ DEFAULT_RECOG_CFG = "demo/recog_cfg.yaml"
 
 
 def _snap_batch(n: int, cap: int = 64) -> int:
-    """Next power of two up to ``cap``, then multiples of ``cap``."""
+    """Snap the batch axis to {1, 8, cap, 2*cap, ...}.
+
+    Decode-invocation wall time is nearly FLAT in batch size (the loop is
+    latency-bound: 320/442/536 ms warm at batch 1/16/64 on v5e-1), so
+    padding rows cost ~nothing — but every distinct (bucket, batch) pair
+    costs an in-process trace (~0.5-1 s) plus a compile/deserialize on
+    first sight.  A coarse 3-point ladder keeps the program set small so
+    serving reaches steady state quickly; the old power-of-two ladder
+    made 7 shapes per bucket and traced its way through most of them."""
     if n >= cap:
         return -(-n // cap) * cap
-    return 1 << (n - 1).bit_length()
+    return 1 if n == 1 else 8 if n <= 8 else cap
 
 
 def load_recog_config(
