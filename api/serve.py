@@ -8,6 +8,11 @@ concurrent requests into bucket-batched TPU decodes
 (:class:`doc2tex_tpu.serving.RecognitionServer`).
 
 Endpoints:
+    GET  /                   browser demo UI (demo/web/index.html — the
+                             stdlib replacement for the reference's
+                             Streamlit app, reference demo/app.py:197-334)
+    GET  /config             {"model_version": ..., "beam_size": ...,
+                             "detect": bool} — UI capability probe
     POST /recognize          image bytes (png/jpg/bmp) -> {"latex": ...}
     POST /recognize_page     (--detect) page bytes ->
                              {"regions": [{"box": [x1,y1,x2,y2], "latex": ...}]}
@@ -49,10 +54,18 @@ def decode_image_bytes(data: bytes) -> np.ndarray:
     return np.asarray(img.convert("L"), dtype=np.uint8)
 
 
-def build_handler(server, page_server=None, max_body: int = 32 << 20):
+UI_PATH = Path(__file__).resolve().parents[1] / "demo" / "web" / "index.html"
+
+
+def build_handler(server, page_server=None, max_body: int = 32 << 20,
+                  config_info: dict | None = None):
     """Bind a BaseHTTPRequestHandler subclass to a RecognitionServer
     (and, when detection is enabled, a PageServer)."""
     from doc2tex_tpu.serving import ServerOverloaded
+
+    ui_html = UI_PATH.read_bytes() if UI_PATH.exists() else None
+    cfg_payload = dict(config_info or {})
+    cfg_payload.setdefault("detect", page_server is not None)
 
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
@@ -68,6 +81,14 @@ def build_handler(server, page_server=None, max_body: int = 32 << 20):
         def do_GET(self):  # noqa: N802 — http.server API
             if self.path == "/healthz":
                 self._reply(200, {"ok": True})
+            elif self.path == "/config":
+                self._reply(200, cfg_payload)
+            elif self.path in ("/", "/index.html") and ui_html is not None:
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html; charset=utf-8")
+                self.send_header("Content-Length", str(len(ui_html)))
+                self.end_headers()
+                self.wfile.write(ui_html)
             elif self.path == "/stats":
                 st = (
                     page_server.stats() if page_server is not None
@@ -238,11 +259,20 @@ def main(argv=None) -> int:
         return 0
 
     httpd = ThreadingHTTPServer(
-        (args.host, args.port), build_handler(server, page_server=page_server)
+        (args.host, args.port),
+        build_handler(
+            server,
+            page_server=page_server,
+            config_info={
+                "model_version": args.model_version,
+                "beam_size": int(recog.beam_size),
+            },
+        ),
     )
     print(f"serving {args.model_version} on http://{args.host}:{args.port} "
-          f"(beam={recog.beam_size}, max_batch={args.max_batch}, "
-          f"window={args.window_ms}ms)", flush=True)
+          f"(browser UI at /, beam={recog.beam_size}, "
+          f"max_batch={args.max_batch}, window={args.window_ms}ms)",
+          flush=True)
     try:
         httpd.serve_forever()
     except KeyboardInterrupt:

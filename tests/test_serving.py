@@ -397,6 +397,28 @@ class TestHTTPFront:
         conn.request("GET", "/nope")
         assert conn.getresponse().status == 404
 
+    def test_browser_ui_served_at_root(self, http_server):
+        # GET / serves demo/web/index.html — the stdlib replacement for
+        # the reference's Streamlit demo (reference demo/app.py:197-334)
+        port, _ = http_server
+        conn = HTTPConnection("127.0.0.1", port, timeout=10)
+        conn.request("GET", "/")
+        resp = conn.getresponse()
+        body = resp.read().decode()
+        assert resp.status == 200
+        assert resp.getheader("Content-Type").startswith("text/html")
+        # the page drives the same production endpoints as API clients
+        assert "/recognize" in body and "/config" in body
+        conn.request("GET", "/index.html")
+        assert conn.getresponse().status == 200
+
+    def test_config_endpoint(self, http_server):
+        port, _ = http_server
+        conn = HTTPConnection("127.0.0.1", port, timeout=10)
+        conn.request("GET", "/config")
+        cfg = json.loads(conn.getresponse().read())
+        assert cfg["detect"] is False  # no PageServer in this fixture
+
     def test_bad_image_is_400(self, http_server):
         port, _ = http_server
         conn = HTTPConnection("127.0.0.1", port, timeout=10)
@@ -428,7 +450,11 @@ class TestHTTPPageFront:
         srv = RecognitionServer(recog, batch_window_ms=5)
         ps = PageServer(fake_detect_and_crop, srv)
         httpd = ThreadingHTTPServer(
-            ("127.0.0.1", 0), build_handler(srv, page_server=ps)
+            ("127.0.0.1", 0),
+            build_handler(
+                srv, page_server=ps,
+                config_info={"model_version": "fake", "beam_size": 3},
+            ),
         )
         thread = threading.Thread(target=httpd.serve_forever, daemon=True)
         thread.start()
@@ -459,6 +485,14 @@ class TestHTTPPageFront:
         st = json.loads(conn.getresponse().read())
         assert st["pages"] == 1 and st["regions"] == 2
         assert "requests" in st["crop_server"]
+
+    def test_config_reports_detect_and_model(self, http_server):
+        conn = HTTPConnection("127.0.0.1", http_server, timeout=10)
+        conn.request("GET", "/config")
+        cfg = json.loads(conn.getresponse().read())
+        assert cfg == {
+            "model_version": "fake", "beam_size": 3, "detect": True,
+        }
 
 
 class TestEndToEndTinyModel:
