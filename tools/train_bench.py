@@ -45,6 +45,16 @@ def main(batch: int = 64, h: int = 128, w: int = 512, iters: int = 6) -> None:
     text = jnp.asarray(rng.integers(0, conv.num_classes, (batch, 152)).astype(np.int32))
     key = jax.random.PRNGKey(1)
 
+    # XLA cost analysis on the compiled step -> train-step MFU
+    # (fwd + bwd + AdamW update flops, vs the v5e bf16 matmul peak — the
+    # same denominator bench.py uses for the encoder MFU)
+    step_flops = None
+    try:
+        compiled = step.lower(state, imgs, text, key).compile()
+        step_flops = float(compiled.cost_analysis().get("flops", 0.0))
+    except Exception:
+        pass
+
     state, m = step(state, imgs, text, key)
     _ = float(m["loss"])  # sync (compile)
     t0 = time.perf_counter()
@@ -52,11 +62,36 @@ def main(batch: int = 64, h: int = 128, w: int = 512, iters: int = 6) -> None:
         state, m = step(state, imgs, text, key)
     _ = float(m["loss"])
     dt = (time.perf_counter() - t0) / iters
+
+    v5e_bf16_peak = 197e12
+    mfu = (
+        round(step_flops / dt / v5e_bf16_peak, 3)
+        if step_flops else None
+    )
+
+    # reference torch-CPU train step at the same bucket shape
+    # (tools/measure_torch_train_baseline.py)
+    vs_baseline = None
+    base_path = __import__("os").path.join(
+        __import__("os").path.dirname(__import__("os").path.abspath(__file__)),
+        "train_baseline_measured.json",
+    )
+    try:
+        with open(base_path) as f:
+            base = json.load(f)["results"]["images_per_sec"]
+        vs_baseline = round(batch / dt / base, 1)
+    except Exception:
+        pass
+
     print(json.dumps({
         "metric": f"train images/sec/chip, bucket {h}x{w}, batch {batch}",
         "value": round(batch / dt, 2),
         "unit": "images/sec",
         "ms_per_step": round(dt * 1000, 1),
+        "step_tflops": None if step_flops is None
+        else round(step_flops / 1e12, 2),
+        "mfu_vs_bf16_peak": mfu,
+        "vs_baseline": vs_baseline,
     }))
 
 
