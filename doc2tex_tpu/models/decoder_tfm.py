@@ -73,6 +73,16 @@ class TFMState(NamedTuple):
     v_mem: tuple         # L x (B, S, nh, hd)
     sel: jax.Array       # (B, K, Tmax, K) — ancestry slot selection
     t: jax.Array         # () int32 — current step
+    # int8 decode memory (ops/quant.py ``decoder_mem`` part): when the
+    # trace runs under quantized_inference(parts=(..., "decoder_mem")) the
+    # four K/V tuples above are stored int8 and these hold the per-vector
+    # f32 scales (caches: L x (B, Tmax*K, nh); memory: L x (B, S, nh)).
+    # Empty tuples outside the context — ``step`` detects the mode from
+    # the cache/memory dtype, so the trace is self-describing.
+    k_scales: tuple = ()
+    v_scales: tuple = ()
+    k_mem_scales: tuple = ()
+    v_mem_scales: tuple = ()
 
 
 def _mha(q, k, v, nheads, mask=None):
@@ -262,11 +272,30 @@ class TransformerDecoder(nn.Module):
             self._heads(mem, lp["ca_wv"], lp["ca_bv"]).astype(self.dtype)
             for lp in self.layers
         )
-        zeros = jnp.zeros((B, cap * beam_size, nh, hd), self.dtype)
+        from ..ops.quant import quant_part_active, quantize_kv
+
+        qmem = quant_part_active("decoder_mem")
+        k_mem_scales = v_mem_scales = ()
+        k_scales = v_scales = ()
+        if qmem:
+            # the decode loop is a pure HBM stream over these four K/V
+            # tuples (ops/decode_attention.py) — int8 storage halves it;
+            # per-vector scales keep the quantization fine-grained
+            k_mem, k_mem_scales = zip(*(quantize_kv(k) for k in k_mem))
+            v_mem, v_mem_scales = zip(*(quantize_kv(v) for v in v_mem))
+            scale_zeros = jnp.zeros((B, cap * beam_size, nh), jnp.float32)
+            k_scales = tuple(scale_zeros for _ in range(L))
+            v_scales = tuple(scale_zeros for _ in range(L))
+        zeros = jnp.zeros(
+            (B, cap * beam_size, nh, hd), jnp.int8 if qmem else self.dtype
+        )
         k_cache = tuple(zeros for _ in range(L))
         v_cache = tuple(zeros for _ in range(L))
         sel = jnp.zeros((B, beam_size, max_steps, beam_size), self.dtype)
-        return TFMState(k_cache, v_cache, k_mem, v_mem, sel, jnp.int32(0))
+        return TFMState(
+            k_cache, v_cache, k_mem, v_mem, sel, jnp.int32(0),
+            k_scales, v_scales, k_mem_scales, v_mem_scales,
+        )
 
     def step(self, state: TFMState, tokens) -> tuple[TFMState, jax.Array]:
         """One decode step: tokens (B*K,) -> (state, logits (B*K, V))."""
@@ -303,6 +332,20 @@ class TransformerDecoder(nn.Module):
         sel_mask = sel_mask.reshape(Bs, K, M)    # flat positions m = t'*K+j
 
         k_cache, v_cache = [], []
+        k_scales, v_scales = [], []
+        # int8 decode memory (ops/quant.py decoder_mem): detected from the
+        # buffer dtype so the trace is self-describing.  The int8 HBM read
+        # is the win; the dequant convert+multiply fuses into the
+        # streaming attention reduce (same pattern as decoder_lstm.step)
+        qkv = state.k_cache[0].dtype == jnp.int8
+        qmem = state.k_mem[0].dtype == jnp.int8
+        if qkv:
+            from ..ops.quant import quantize_kv  # noqa: F401 (used below)
+
+        def dq(values, scales):
+            return values.astype(self.dtype) * scales[..., None].astype(
+                self.dtype
+            )
 
         # beam-split head projection: (BK, d) -> (Bs, K, nh, hd)
         def heads(y, w, b):
@@ -315,6 +358,15 @@ class TransformerDecoder(nn.Module):
             # carry update (full-cache copy per step) and is a future error
             k_new = heads(xq, lp["sa_wk"], lp["sa_bk"]).astype(self.dtype)
             v_new = heads(xq, lp["sa_wv"], lp["sa_bv"]).astype(self.dtype)
+            if qkv:
+                k_new, k_sc = quantize_kv(k_new)   # int8 + (Bs, K, nh) f32
+                v_new, v_sc = quantize_kv(v_new)
+                k_scales.append(jax.lax.dynamic_update_slice(
+                    state.k_scales[i], k_sc, (0, t * K, 0)
+                ))
+                v_scales.append(jax.lax.dynamic_update_slice(
+                    state.v_scales[i], v_sc, (0, t * K, 0)
+                ))
             # hypothesis in slot j writes flat position t*K + j — the K
             # slot-writes of a step are CONTIGUOUS: one slice update per
             # cache (slot-major needed K strided updates, which compiled
@@ -329,6 +381,8 @@ class TransformerDecoder(nn.Module):
             )
             k_cache.append(k_i)
             v_cache.append(v_i)
+            k_att = dq(k_i, k_scales[i]) if qkv else k_i
+            v_att = dq(v_i, v_scales[i]) if qkv else v_i
             # slot attention: score EVERY flat position m (K x FLOPs) and
             # select the hypothesis's ancestry via the mask — the cache is
             # read once, never permuted (see ops/decode_attention.py)
@@ -336,7 +390,7 @@ class TransformerDecoder(nn.Module):
             qh = (heads(xq, lp["sa_wq"], lp["sa_bq"]) * scale).astype(
                 self.dtype
             )
-            ctx = decode_attention(qh, k_i, v_i, sel_mask)
+            ctx = decode_attention(qh, k_att, v_att, sel_mask)
             h = ctx.reshape(BK, self.d_model) @ lp["sa_wo"] + lp["sa_bo"]
             x = self._ln(x + h, lp["n1_s"], lp["n1_b"])
             # cross-attention against the SHARED memory: fold the beam
@@ -346,7 +400,9 @@ class TransformerDecoder(nn.Module):
                 heads(x.astype(self.dtype), lp["ca_wq"], lp["ca_bq"])
                 * scale
             ).astype(self.dtype)
-            ctx = decode_attention(qh, state.k_mem[i], state.v_mem[i])
+            k_m = dq(state.k_mem[i], state.k_mem_scales[i]) if qmem else state.k_mem[i]
+            v_m = dq(state.v_mem[i], state.v_mem_scales[i]) if qmem else state.v_mem[i]
+            ctx = decode_attention(qh, k_m, v_m)
             h = ctx.reshape(BK, self.d_model) @ lp["ca_wo"] + lp["ca_bo"]
             x = self._ln(x + h, lp["n2_s"], lp["n2_b"])
             h = nn.relu(x.astype(self.dtype) @ lp["ff_w1"] + lp["ff_b1"])
@@ -357,7 +413,8 @@ class TransformerDecoder(nn.Module):
 
         logits = shard_activation(logits, (DATA_AXIS, MODEL_AXIS))
         new_state = state._replace(
-            k_cache=tuple(k_cache), v_cache=tuple(v_cache), sel=sel, t=t + 1
+            k_cache=tuple(k_cache), v_cache=tuple(v_cache), sel=sel, t=t + 1,
+            k_scales=tuple(k_scales), v_scales=tuple(v_scales),
         )
         return new_state, logits
 
@@ -381,7 +438,17 @@ def grow_decode_state(
     if m_new <= m_old:
         return state
     pad = ((0, 0), (0, m_new - m_old), (0, 0), (0, 0))
-    return state._replace(
+    grown = state._replace(
         k_cache=tuple(jnp.pad(c, pad) for c in state.k_cache),
         v_cache=tuple(jnp.pad(c, pad) for c in state.v_cache),
     )
+    if state.k_scales:
+        # int8 decode memory: per-vector scale tensors (B, M, nh) grow in
+        # lockstep with the caches (pad scale 0 -> dequant of the padded
+        # slots stays exactly 0, same as the bf16 zero-pad)
+        spad = pad[:-1]
+        grown = grown._replace(
+            k_scales=tuple(jnp.pad(s, spad) for s in state.k_scales),
+            v_scales=tuple(jnp.pad(s, spad) for s in state.v_scales),
+        )
+    return grown

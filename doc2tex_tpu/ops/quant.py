@@ -50,9 +50,12 @@ class quantized_inference:
 
     ``parts``:
       - "encoder": Dense/Conv matmuls/convs go int8 on the MXU (shape-gated)
-      - "decoder_mem": the LSTM-attention decoder's attention memory
-        (enc / enc_proj in ``DecoderState``) is stored int8, halving the
-        dominant decode-step HBM traffic; dequant fuses into the consumers
+      - "decoder_mem": decode-step attention memory is stored int8,
+        halving the dominant decode-step HBM traffic; dequant fuses into
+        the consumers.  LSTM family: enc / enc_proj in ``DecoderState``.
+        TFM family: the beam-shared cross-attention K/V memory AND the
+        growing self-attention KV caches (per-vector scales,
+        ``quantize_kv``) in ``TFMState``.
     """
 
     def __init__(self, mode: str = "int8", parts=("encoder",)):
@@ -193,3 +196,20 @@ def quantize_memory(x: jax.Array) -> tuple[jax.Array, jax.Array]:
 
 def dequantize_memory(q: jax.Array, scale: jax.Array) -> jax.Array:
     return q.astype(jnp.float32) * scale
+
+
+def quantize_kv(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Per-vector int8 quantization of attention K/V: one scale per
+    leading-index vector (reduction over the LAST axis only).
+
+    For a (B, M, nh, hd) cache/memory this yields int8 values plus a
+    (B, M, nh) f32 scale — fine-grained enough that beam decode stays
+    token-exact on trained weights in practice, while the f32 scale
+    tensor is hd(x4-bytes-vs-1) = ~8x smaller than the bytes the int8
+    storage saves.  Consumers dequantize inline
+    (``q.astype(dtype) * scale[..., None]``); XLA fuses the convert +
+    multiply into the streaming attention reduce, so HBM still sees
+    only int8.
+    """
+    q, scale = _quantize(x, axes=(-1,))
+    return q, jnp.squeeze(scale, axis=-1)

@@ -144,6 +144,58 @@ class TestQuantDecoderMemory:
         # the real assertion is the quantized trace runs end-to-end
         assert (np.asarray(tok_q) == np.asarray(tok_ref)).mean() > 0.9
 
+    def test_tfm_beam_decode_with_int8_memory(self):
+        # TFM-family decoder_mem: cross-attention K/V memory AND the
+        # growing self-attention KV caches stored int8 with per-vector
+        # scales (quantize_kv); chunked decode must grow the scale
+        # tensors in lockstep with the caches (grow_decode_state)
+        from doc2tex_tpu.decode.runner import make_decode_fn
+        from doc2tex_tpu.models import build_model
+        from tests.test_models import VOCAB_SIZE, tfm_config
+
+        cfg = tfm_config()
+        cfg["beam_size"] = 3
+        model = build_model(cfg, VOCAB_SIZE)
+        img = jax.random.normal(
+            jax.random.PRNGKey(3), (2, 32, 64, 1), jnp.float32
+        )
+        variables = model.init(
+            jax.random.PRNGKey(0), img, jnp.zeros((2, 9), jnp.int32), False
+        )
+        # max_steps=40 forces the chunked path (grow_decode_state pads
+        # caches + scales between the sequential while_loops)
+        decode = make_decode_fn(model, cfg, beam_size=3, max_steps=40)
+        tok_ref, _ = decode(variables, img)
+        with quantized_inference(parts=("decoder_mem",)):
+            decode_q = make_decode_fn(model, cfg, beam_size=3, max_steps=40)
+            tok_q, _ = decode_q(variables, img)
+        assert tok_q.shape == tok_ref.shape
+        assert (np.asarray(tok_q) == np.asarray(tok_ref)).mean() > 0.9
+
+    def test_tfm_state_int8_buffers_and_scales(self):
+        from doc2tex_tpu.models import build_model
+        from tests.test_models import VOCAB_SIZE, tfm_config
+
+        cfg = tfm_config()
+        model = build_model(cfg, VOCAB_SIZE)
+        img = jnp.zeros((1, 32, 64, 1), jnp.float32)
+        variables = model.init(
+            jax.random.PRNGKey(0), img, jnp.zeros((1, 9), jnp.int32), False
+        )
+        enc = model.apply(variables, img, method=model.encode)
+        state = model.apply(variables, enc, 8, method=model.init_decode_state)
+        assert state.k_scales == () and state.k_mem_scales == ()
+        assert state.k_cache[0].dtype != jnp.int8
+        with quantized_inference(parts=("decoder_mem",)):
+            state_q = model.apply(
+                variables, enc, 8, method=model.init_decode_state
+            )
+        assert state_q.k_cache[0].dtype == jnp.int8
+        assert state_q.k_mem[0].dtype == jnp.int8
+        # per-vector scales: (B, M, nh) matching the cache's slot axis
+        assert state_q.k_scales[0].shape == state_q.k_cache[0].shape[:3]
+        assert state_q.k_mem_scales[0].shape == state_q.k_mem[0].shape[:3]
+
     def test_bf16_state_has_placeholder_scales(self):
         from doc2tex_tpu.models import build_model
         from tests.test_models import tiny_vit_config

@@ -52,12 +52,6 @@ def main() -> None:
         args.weights = args.weights.replace(
             "synthetic/best", "synthetic_tfm/best"
         )
-    if args.family == "tfm" and "int8_full" in args.modes:
-        # decoder_mem quantization only exists for the LSTM family
-        # (decoder_lstm.init_state); an int8_full row here would silently
-        # duplicate the int8 row and read as a fake accuracy result
-        ap.error("--modes int8_full is LSTM-family only (the TFM head "
-                 "has no int8 decode-attention-memory path)")
 
     from doc2tex_tpu.data.loader import ArrayDataset, BucketLoader
     from doc2tex_tpu.data.synthetic import hard_vocab, synth_hard_dataset
