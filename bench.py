@@ -52,9 +52,15 @@ def main() -> None:
     # --bf16 runs the unquantized path; --int8-full also stores the decode
     # attention memory int8 (halves the dominant decode HBM reads).
     int8 = "--bf16" not in sys.argv
-    quant_parts = (
-        ("encoder", "decoder_mem") if "--int8-full" in sys.argv else ("encoder",)
-    )
+    # --int8-full: + int8 decode attention memory (quantized once, zero
+    # per-step cost).  --int8-kv: + int8 growing TFM self-attn caches —
+    # a measured LOSS at flagship shapes (ops/quant.py decoder_kv verdict),
+    # kept as the large-model knob.
+    quant_parts = ("encoder",)
+    if "--int8-full" in sys.argv:
+        quant_parts = ("encoder", "decoder_mem")
+    if "--int8-kv" in sys.argv:
+        quant_parts = ("encoder", "decoder_mem", "decoder_kv")
     import jax
 
     # persistent compile cache: repeat bench runs skip the 30-200s XLA
@@ -175,10 +181,12 @@ def main() -> None:
     if tfm:
         metric += ", TFM decoder"
     if int8:
-        metric += (
-            ", int8 encoder+decode-mem" if "decoder_mem" in quant_parts
-            else ", int8 encoder"
-        )
+        if "decoder_kv" in quant_parts:
+            metric += ", int8 encoder+decode-mem+kv-cache"
+        elif "decoder_mem" in quant_parts:
+            metric += ", int8 encoder+decode-mem"
+        else:
+            metric += ", int8 encoder"
     print(
         json.dumps(
             {

@@ -73,12 +73,14 @@ class TFMState(NamedTuple):
     v_mem: tuple         # L x (B, S, nh, hd)
     sel: jax.Array       # (B, K, Tmax, K) — ancestry slot selection
     t: jax.Array         # () int32 — current step
-    # int8 decode memory (ops/quant.py ``decoder_mem`` part): when the
-    # trace runs under quantized_inference(parts=(..., "decoder_mem")) the
-    # four K/V tuples above are stored int8 and these hold the per-vector
-    # f32 scales (caches: L x (B, Tmax*K, nh); memory: L x (B, S, nh)).
-    # Empty tuples outside the context — ``step`` detects the mode from
-    # the cache/memory dtype, so the trace is self-describing.
+    # int8 decode memory (ops/quant.py): under "decoder_mem" the
+    # cross-attn K/V memory is stored int8; under "decoder_kv" the
+    # growing self-attn caches are too (see the MEASURED VERDICT in
+    # ops/quant.py — a loss at small head dims).  These hold the
+    # per-vector f32 scales (caches: L x (B, Tmax*K, nh); memory:
+    # L x (B, S, nh)).  Empty tuples outside the contexts — ``step``
+    # detects the mode from the buffer dtypes, so the trace is
+    # self-describing.
     k_scales: tuple = ()
     v_scales: tuple = ()
     k_mem_scales: tuple = ()
@@ -275,19 +277,23 @@ class TransformerDecoder(nn.Module):
         from ..ops.quant import quant_part_active, quantize_kv
 
         qmem = quant_part_active("decoder_mem")
+        qkv = quant_part_active("decoder_kv")
         k_mem_scales = v_mem_scales = ()
         k_scales = v_scales = ()
         if qmem:
-            # the decode loop is a pure HBM stream over these four K/V
-            # tuples (ops/decode_attention.py) — int8 storage halves it;
-            # per-vector scales keep the quantization fine-grained
+            # cross-attn memory: quantized ONCE here (zero per-step cost),
+            # then streamed int8 by every decode step; scale folding in
+            # ops/decode_attention keeps the reduce int8-fed
             k_mem, k_mem_scales = zip(*(quantize_kv(k) for k in k_mem))
             v_mem, v_mem_scales = zip(*(quantize_kv(v) for v in v_mem))
+        if qkv:
+            # growing self-attn caches int8 — see the decoder_kv MEASURED
+            # VERDICT in ops/quant.py before enabling at small head dims
             scale_zeros = jnp.zeros((B, cap * beam_size, nh), jnp.float32)
             k_scales = tuple(scale_zeros for _ in range(L))
             v_scales = tuple(scale_zeros for _ in range(L))
         zeros = jnp.zeros(
-            (B, cap * beam_size, nh, hd), jnp.int8 if qmem else self.dtype
+            (B, cap * beam_size, nh, hd), jnp.int8 if qkv else self.dtype
         )
         k_cache = tuple(zeros for _ in range(L))
         v_cache = tuple(zeros for _ in range(L))
@@ -342,11 +348,6 @@ class TransformerDecoder(nn.Module):
         if qkv:
             from ..ops.quant import quantize_kv  # noqa: F401 (used below)
 
-        def dq(values, scales):
-            return values.astype(self.dtype) * scales[..., None].astype(
-                self.dtype
-            )
-
         # beam-split head projection: (BK, d) -> (Bs, K, nh, hd)
         def heads(y, w, b):
             return (y @ w + b).reshape(Bs, K, self.nhead, hd)
@@ -381,8 +382,6 @@ class TransformerDecoder(nn.Module):
             )
             k_cache.append(k_i)
             v_cache.append(v_i)
-            k_att = dq(k_i, k_scales[i]) if qkv else k_i
-            v_att = dq(v_i, v_scales[i]) if qkv else v_i
             # slot attention: score EVERY flat position m (K x FLOPs) and
             # select the hypothesis's ancestry via the mask — the cache is
             # read once, never permuted (see ops/decode_attention.py)
@@ -390,7 +389,11 @@ class TransformerDecoder(nn.Module):
             qh = (heads(xq, lp["sa_wq"], lp["sa_bq"]) * scale).astype(
                 self.dtype
             )
-            ctx = decode_attention(qh, k_att, v_att, sel_mask)
+            ctx = decode_attention(
+                qh, k_i, v_i, sel_mask,
+                k_scale=k_scales[i] if qkv else None,
+                v_scale=v_scales[i] if qkv else None,
+            )
             h = ctx.reshape(BK, self.d_model) @ lp["sa_wo"] + lp["sa_bo"]
             x = self._ln(x + h, lp["n1_s"], lp["n1_b"])
             # cross-attention against the SHARED memory: fold the beam
@@ -400,9 +403,11 @@ class TransformerDecoder(nn.Module):
                 heads(x.astype(self.dtype), lp["ca_wq"], lp["ca_bq"])
                 * scale
             ).astype(self.dtype)
-            k_m = dq(state.k_mem[i], state.k_mem_scales[i]) if qmem else state.k_mem[i]
-            v_m = dq(state.v_mem[i], state.v_mem_scales[i]) if qmem else state.v_mem[i]
-            ctx = decode_attention(qh, k_m, v_m)
+            ctx = decode_attention(
+                qh, state.k_mem[i], state.v_mem[i],
+                k_scale=state.k_mem_scales[i] if qmem else None,
+                v_scale=state.v_mem_scales[i] if qmem else None,
+            )
             h = ctx.reshape(BK, self.d_model) @ lp["ca_wo"] + lp["ca_bo"]
             x = self._ln(x + h, lp["n2_s"], lp["n2_b"])
             h = nn.relu(x.astype(self.dtype) @ lp["ff_w1"] + lp["ff_b1"])

@@ -33,22 +33,35 @@ import jax
 import jax.numpy as jnp
 
 
-def _reference(q, k, v, mask):
+def _reference(q, k, v, mask, k_scale=None, v_scale=None):
     """Broadcast-multiply-reduce formulation (XLA-fusible streaming).
 
     The softmax runs over the MINOR axis of a transposed (B, K, nh, M)
     score tensor: softmax over the non-minor M of the untransposed
     layout measured ~2x slower (lane-inefficient cross-sublane reduce)
-    despite saving the transposes."""
+    despite saving the transposes.
+
+    int8 K/V (``k_scale``/``v_scale`` given, shapes (B, M, nh)): the
+    per-position scales are folded AROUND the reduces instead of
+    dequantizing the (B, M, nh, hd) buffers first —
+        scores[b,k,h,m] = (sum_d q*k_int8) * k_scale[b,m,h]
+        ctx[b,k,h,d]    = sum_m (attn*v_scale[b,m,h]) * v_int8[b,m,h,d]
+    exact algebra, hd x fewer scale multiplies, and the int8 buffers feed
+    the streaming reduce directly (only the convert fuses in)."""
     f32 = jnp.float32
+    dtype = q.dtype if v_scale is not None else v.dtype
     # (B, M, K, nh) <- sum_d (B,1,K,nh,hd) * (B,M,1,nh,hd)
-    sc = (q[:, None] * k[:, :, None]).astype(f32).sum(-1)
+    sc = (q[:, None] * k[:, :, None].astype(q.dtype)).astype(f32).sum(-1)
+    if k_scale is not None:
+        sc = sc * k_scale[:, :, None, :]
     sc = sc.transpose(0, 2, 3, 1)  # (B, K, nh, M)
     if mask is not None:
         sc = jnp.where(mask[:, :, None, :], sc, -jnp.inf)
-    attn = jax.nn.softmax(sc, axis=-1).astype(v.dtype)
+    attn = jax.nn.softmax(sc, axis=-1).astype(dtype)
     aw = attn.transpose(0, 3, 1, 2)  # (B, M, K, nh)
-    return (aw[..., None] * v[:, :, None]).sum(1)  # (B, K, nh, hd)
+    if v_scale is not None:
+        aw = aw * v_scale[:, :, None, :].astype(dtype)
+    return (aw[..., None] * v[:, :, None].astype(dtype)).sum(1)  # (B,K,nh,hd)
 
 
 def _kernel(q_ref, k_ref, v_ref, mask_ref, out_ref):
@@ -88,13 +101,16 @@ def _kernel(q_ref, k_ref, v_ref, mask_ref, out_ref):
         out_ref[0, h] = ctx.astype(out_ref.dtype)
 
 
-def decode_attention(q, k, v, mask=None, force_reference: bool = False):
+def decode_attention(q, k, v, mask=None, force_reference: bool = False,
+                     k_scale=None, v_scale=None):
     """Beam decode attention.
 
     q: (B, K, nh, hd) queries (pre-scaled by 1/sqrt(hd) if desired)
-    k, v: (B, M, nh, hd) keys/values
+    k, v: (B, M, nh, hd) keys/values — bf16, or int8 with per-position
+        ``k_scale``/``v_scale`` (B, M, nh) f32 (ops/quant.quantize_kv);
+        scales fold around the reduces (see ``_reference``)
     mask: optional (B, K, M) bool — True = attend
-    returns ctx (B, K, nh, hd) in v.dtype
+    returns ctx (B, K, nh, hd) in v.dtype (q.dtype when quantized)
 
     NOT @jax.jit on purpose: callers trace this inside their own jit
     (the decode scan body), and a nested-jit call boundary here blocked
@@ -103,11 +119,12 @@ def decode_attention(q, k, v, mask=None, force_reference: bool = False):
     """
     use_pallas = (
         not force_reference
+        and k_scale is None and v_scale is None
         and jax.default_backend() == "tpu"
         and os.environ.get("DOC2TEX_PALLAS_DECODE") == "1"
     )
     if not use_pallas:
-        return _reference(q, k, v, mask)
+        return _reference(q, k, v, mask, k_scale=k_scale, v_scale=v_scale)
 
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu

@@ -50,18 +50,27 @@ class quantized_inference:
 
     ``parts``:
       - "encoder": Dense/Conv matmuls/convs go int8 on the MXU (shape-gated)
-      - "decoder_mem": decode-step attention memory is stored int8,
-        halving the dominant decode-step HBM traffic; dequant fuses into
-        the consumers.  LSTM family: enc / enc_proj in ``DecoderState``.
-        TFM family: the beam-shared cross-attention K/V memory AND the
-        growing self-attention KV caches (per-vector scales,
-        ``quantize_kv``) in ``TFMState``.
+      - "decoder_mem": decode-step attention MEMORY (quantized once at
+        decode start, zero per-step cost) is stored int8; dequant/scale
+        folding fuses into the consumers.  LSTM family: enc / enc_proj in
+        ``DecoderState``.  TFM family: the beam-shared cross-attention
+        K/V memory (per-vector scales, ``quantize_kv``) in ``TFMState``.
+      - "decoder_kv": TFM family only — the GROWING self-attention KV
+        caches also go int8 (per-vector scales, quantize+slice-update
+        every step).  MEASURED VERDICT (v5e-1, bench --tfm, 64x320
+        beam 5): a LOSS at the flagship shapes — 814.4 img/s bf16 caches
+        vs 651.6 int8 (folded scales) / 641.7 (dequant-before-dot).  At
+        (nh=8, hd=32) cache minors, int8's (32,128) TPU tile padding
+        cancels the byte saving, so the per-step quantize + scale
+        plumbing is pure overhead.  Kept for large-model shapes
+        (hd >= 128 lanes) where the tiles fill and int8 genuinely halves
+        the stream.
     """
 
     def __init__(self, mode: str = "int8", parts=("encoder",)):
         if mode not in ("int8",):
             raise ValueError(f"unknown quant mode {mode!r}")
-        bad = set(parts) - {"encoder", "decoder_mem"}
+        bad = set(parts) - {"encoder", "decoder_mem", "decoder_kv"}
         if bad:
             raise ValueError(f"unknown quant parts {sorted(bad)}")
         self.mode = mode

@@ -145,10 +145,10 @@ class TestQuantDecoderMemory:
         assert (np.asarray(tok_q) == np.asarray(tok_ref)).mean() > 0.9
 
     def test_tfm_beam_decode_with_int8_memory(self):
-        # TFM-family decoder_mem: cross-attention K/V memory AND the
-        # growing self-attention KV caches stored int8 with per-vector
-        # scales (quantize_kv); chunked decode must grow the scale
-        # tensors in lockstep with the caches (grow_decode_state)
+        # TFM-family decoder_mem (cross-attention K/V memory) +
+        # decoder_kv (growing self-attention KV caches) stored int8 with
+        # per-vector scales (quantize_kv); chunked decode must grow the
+        # scale tensors in lockstep with the caches (grow_decode_state)
         from doc2tex_tpu.decode.runner import make_decode_fn
         from doc2tex_tpu.models import build_model
         from tests.test_models import VOCAB_SIZE, tfm_config
@@ -166,11 +166,17 @@ class TestQuantDecoderMemory:
         # caches + scales between the sequential while_loops)
         decode = make_decode_fn(model, cfg, beam_size=3, max_steps=40)
         tok_ref, _ = decode(variables, img)
-        with quantized_inference(parts=("decoder_mem",)):
+        with quantized_inference(parts=("decoder_mem", "decoder_kv")):
             decode_q = make_decode_fn(model, cfg, beam_size=3, max_steps=40)
             tok_q, _ = decode_q(variables, img)
         assert tok_q.shape == tok_ref.shape
         assert (np.asarray(tok_q) == np.asarray(tok_ref)).mean() > 0.9
+        # mem-only (the shipping int8_full point: decoder_kv is the
+        # measured-loss knob, ops/quant.py verdict)
+        with quantized_inference(parts=("decoder_mem",)):
+            decode_m = make_decode_fn(model, cfg, beam_size=3, max_steps=40)
+            tok_m, _ = decode_m(variables, img)
+        assert (np.asarray(tok_m) == np.asarray(tok_ref)).mean() > 0.9
 
     def test_tfm_state_int8_buffers_and_scales(self):
         from doc2tex_tpu.models import build_model
@@ -186,7 +192,17 @@ class TestQuantDecoderMemory:
         state = model.apply(variables, enc, 8, method=model.init_decode_state)
         assert state.k_scales == () and state.k_mem_scales == ()
         assert state.k_cache[0].dtype != jnp.int8
+        # decoder_mem alone: cross-attn memory int8, caches stay bf16
         with quantized_inference(parts=("decoder_mem",)):
+            state_m = model.apply(
+                variables, enc, 8, method=model.init_decode_state
+            )
+        assert state_m.k_mem[0].dtype == jnp.int8
+        assert state_m.k_cache[0].dtype != jnp.int8
+        assert state_m.k_scales == ()
+        assert state_m.k_mem_scales[0].shape == state_m.k_mem[0].shape[:3]
+        # + decoder_kv: the growing caches go int8 too
+        with quantized_inference(parts=("decoder_mem", "decoder_kv")):
             state_q = model.apply(
                 variables, enc, 8, method=model.init_decode_state
             )

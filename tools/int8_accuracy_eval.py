@@ -41,16 +41,22 @@ def main() -> None:
         ),
     )
     ap.add_argument("--modes", default="bf16,int8",
-                    help="comma list of bf16/int8/int8_full passes to run "
-                    "(int8_full = encoder + int8 decode attention memory)")
+                    help="comma list of bf16/int8/int8_full/int8_kv passes "
+                    "(int8_full = encoder + int8 decode attention memory; "
+                    "int8_kv additionally stores the TFM self-attn caches "
+                    "int8)")
     ap.add_argument("--family", default="attn", choices=["attn", "tfm"],
                     help="decoder family / released version to validate: "
                     "attn = synthetic (coverage-LSTM), tfm = synthetic_tfm "
                     "(Transformer head)")
+    ap.add_argument("--big", action="store_true",
+                    help="flagship-scale arm (structured_soak --big): "
+                    "validates the synthetic_tfm_big released weights")
     args = ap.parse_args()
     if args.family == "tfm" and "synthetic/best" in args.weights:
         args.weights = args.weights.replace(
-            "synthetic/best", "synthetic_tfm/best"
+            "synthetic/best",
+            "synthetic_tfm_big/best" if args.big else "synthetic_tfm/best",
         )
 
     from doc2tex_tpu.data.loader import ArrayDataset, BucketLoader
@@ -66,7 +72,7 @@ def main() -> None:
     from doc2tex_tpu.train.checkpoint import load_pretrained_variables
     from doc2tex_tpu.train.trainer import init_model
 
-    cfg = build(100000, hard=True, family=args.family)
+    cfg = build(100000, hard=True, family=args.family, big=args.big)
     kw = {"min_len": 8, "max_len": 150, "max_h": 220, "max_w": 696,
           "scale_range": (3, 5)}  # the soak's calibrated operating point
     ev_images, ev_labels = synth_hard_dataset(args.n_eval, seed=32, **kw)
@@ -96,6 +102,12 @@ def main() -> None:
             ctx = quantized_inference()
         elif mode == "int8_full":
             ctx = quantized_inference(parts=("encoder", "decoder_mem"))
+        elif mode == "int8_kv":
+            # TFM only: + int8 growing self-attn caches (decoder_kv —
+            # accuracy check for the measured-loss perf knob)
+            ctx = quantized_inference(
+                parts=("encoder", "decoder_mem", "decoder_kv")
+            )
         else:
             ctx = None
         if ctx:
