@@ -152,7 +152,8 @@ def main(argv=None) -> int:
                     help="recognizer config yaml (default demo/recog_cfg.yaml)")
     ap.add_argument("--model_version", default="synthetic",
                     help="version block in the recog config (shipped "
-                    "releases: synthetic, synthetic_tfm)")
+                    "releases: synthetic, synthetic_tfm, "
+                    "synthetic_tfm_big)")
     ap.add_argument("--beam_size", type=int, default=None)
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8080)

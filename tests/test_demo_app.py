@@ -109,6 +109,42 @@ class TestRecogConfigContract:
         )
         assert np.abs(emb).sum() > 0  # real trained values, not init
 
+    def test_synthetic_tfm_big_release_block(self):
+        """Flagship-scale release: the capacity-scaling arm
+        (structured_soak --hard --family tfm --big, 256x6 encoder +
+        6-layer TFM head) — held-out beam-5 EM 0.8562 @ 100k
+        (tools/hard_tfm_big_curve.jsonl).  Weights must restore into
+        the big-arch model exactly."""
+        import jax
+        import numpy as np
+
+        from doc2tex_tpu.models import build_model
+        from doc2tex_tpu.recognition import load_recog_config
+        from doc2tex_tpu.tokenizer.converters import TFMLabelConverter
+        from doc2tex_tpu.tokenizer.vocab import load_vocab
+        from doc2tex_tpu.train.checkpoint import load_pretrained_variables
+        from doc2tex_tpu.train.trainer import init_model
+
+        cfg, weights = load_recog_config(version="synthetic_tfm_big")
+        assert cfg["Prediction"]["name"] == "TFM"
+        assert cfg["Prediction"]["params"]["d_model"] == 256
+        assert cfg["Prediction"]["params"]["num_decoder_layers"] == 6
+        assert cfg["SequenceModeling"]["params"]["depth"] == 6
+        assert int(cfg["beam_size"]) == 10  # inherits the demo contract
+        assert os.path.exists(weights)
+        assert os.path.getsize(weights) > 20 << 20  # 22.7M params f16
+
+        conv = TFMLabelConverter(load_vocab(cfg["vocab"]))
+        model = build_model(cfg, conv.num_classes)
+        params0, stats0 = init_model(
+            model, jax.random.PRNGKey(0), (1, 32, 32, 1), 8
+        )
+        params, stats, info = load_pretrained_variables(
+            weights, params0, stats0
+        )
+        emb = np.asarray(params["predicter"]["word_embed"], np.float32)
+        assert np.abs(emb).sum() > 0  # real trained values, not init
+
     def test_unknown_version_raises(self):
         import pytest as _pytest
 
