@@ -256,7 +256,20 @@ class BucketLoader:
     def infinite(self) -> Iterator[Batch]:
         """Endless shuffled batches (reference api/train.py:46 infinite iterator)."""
         while True:
-            yield from self
+            n = 0
+            for batch in self:
+                n += 1
+                yield batch
+            if n == 0:
+                # every sample was dropped by bucket planning (too large
+                # for the ladder / no full batch with
+                # keep_smaller_batches=False) — a bare `while True` here
+                # busy-hangs the train loop with zero signal
+                raise RuntimeError(
+                    f"loader produced 0 batches from {self.num_samples} "
+                    "samples: check max_dimension/batch_size/"
+                    "keep_smaller_batches against the data"
+                )
 
 
 def build_loader(config, converter, seed: int = 0):
@@ -265,7 +278,12 @@ def build_loader(config, converter, seed: int = 0):
 
     ``train_data``/``valid_data`` point at LMDB roots; a missing path with
     ``synthetic_data: N`` set builds an in-memory synthetic split instead
-    (hermetic tests / demo runs).
+    (hermetic tests / demo runs).  ``synthetic_style`` picks the
+    generator: ``flat`` (default — one glyph per token),
+    ``structured`` (nested frac/sqrt/matrix grammar), or ``hard`` (the
+    round-3 benchmark: KaTeX-inventory vocab, multi-font glyphs, render
+    noise — the regime the released recognizers were trained on; pair it
+    with ``vocab: saved_models/math_recog/version2/vocab.txt``).
     """
     import os
 
@@ -274,11 +292,21 @@ def build_loader(config, converter, seed: int = 0):
         if path and os.path.isdir(path):
             ds = LmdbDataset(path, rgb=config.get("rgb", False))
         elif config.get("synthetic_data"):
-            from .synthetic import synth_dataset
+            from . import synthetic as _synth
 
+            style = str(config.get("synthetic_style") or "flat")
+            gens = {
+                "flat": _synth.synth_dataset,
+                "structured": _synth.synth_structured_dataset,
+                "hard": _synth.synth_hard_dataset,
+            }
+            if style not in gens:
+                raise ValueError(
+                    f"synthetic_style {style!r}: pick one of {sorted(gens)}"
+                )
             n = int(config["synthetic_data"])
             kwargs = dict(config.get("synthetic_kwargs") or {})
-            images, labels = synth_dataset(
+            images, labels = gens[style](
                 n if train else max(n // 10, 4),
                 seed=seed if train else seed + 1,
                 **kwargs,

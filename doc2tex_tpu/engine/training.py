@@ -129,6 +129,12 @@ def train(config, log_dir: str = "saved_models/run") -> dict:
         f"shape ladder, {train_loader.batches_per_epoch()} batches/epoch; "
         f"valid: {valid_loader.num_samples}"
     )
+    if train_loader.batches_per_epoch() == 0:
+        raise ValueError(
+            "train loader yields 0 batches/epoch — every sample was "
+            "dropped by bucket planning (too large for max_dimension, or "
+            "no full batch with keep_smaller_batches=False)"
+        )
 
     keeper = BestCheckpointKeeper(log_dir)
     if b.resume_meta:  # don't regress best_* gates on resume

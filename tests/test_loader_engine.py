@@ -233,6 +233,77 @@ class TestConfigs:
             assert cfg["SequenceModeling"]["name"] == "ViT"
             assert cfg["batch_max_length"] > 0
 
+    def test_release_recipe_config(self):
+        """config/train_hard_tfm_big.yaml is the reproducible recipe for
+        the shipped synthetic_tfm_big weights: it must build the exact
+        released architecture (recog_cfg.yaml synthetic_tfm_big block)
+        and a hard-style loader over the KaTeX-inventory vocab."""
+        from doc2tex_tpu.config import load_config
+        from doc2tex_tpu.data.loader import build_loader
+        from doc2tex_tpu.tokenizer.converters import (
+            TFMLabelConverter,
+            create_converter,
+        )
+
+        cfg = load_config("config/train_hard_tfm_big.yaml")
+        assert cfg["Prediction"]["params"]["num_decoder_layers"] == 6
+        assert cfg["SequenceModeling"]["params"]["hidden_size"] == 256
+        conv = create_converter(cfg)
+        assert isinstance(conv, TFMLabelConverter)
+        assert conv.num_classes == 683  # 679 vocab + unk + PAD/GO/[s]
+
+        cfg["synthetic_data"] = 12  # tiny hermetic split for the test
+        cfg["synthetic_kwargs"]["max_len"] = 12
+        cfg["batch_size"] = 4
+        cfg["keep_smaller_batches"] = True
+        tr, ev = build_loader(cfg, conv)
+        batch = next(iter(tr))
+        assert batch.text.shape[0] == batch.images.shape[0]
+        assert (np.asarray(batch.text)[:, 0] == 1).all()  # TFM GO=1 col 0
+
+    def test_synthetic_style_knob(self):
+        """build_loader synthetic_style: structured/hard generators and
+        a clear error on an unknown style."""
+        import pytest
+
+        from doc2tex_tpu.data.loader import build_loader
+        from doc2tex_tpu.tokenizer.converters import AttnLabelConverter
+        from doc2tex_tpu.data.synthetic import SYNTH_VOCAB
+
+        cfg = small_config()
+        cfg["synthetic_data"] = 8
+        cfg["synthetic_style"] = "structured"
+        cfg["synthetic_kwargs"] = {"max_len": 10}
+        conv = AttnLabelConverter(list(SYNTH_VOCAB))
+        tr, ev = build_loader(cfg, conv)
+        # bucket planning may drop samples outside the small test ladder
+        assert 0 < tr.num_samples <= 8
+        cfg["synthetic_style"] = "nope"
+        with pytest.raises(ValueError, match="synthetic_style"):
+            build_loader(cfg, conv)
+
+    def test_empty_loader_raises_not_hangs(self):
+        """A loader whose every sample is dropped by bucket planning must
+        raise, not busy-hang train's infinite() iterator (found driving
+        the release recipe with a too-small max_dimension)."""
+        import pytest
+
+        from doc2tex_tpu.data.loader import ArrayDataset, BucketLoader
+        from doc2tex_tpu.tokenizer.converters import AttnLabelConverter
+        from doc2tex_tpu.data.synthetic import SYNTH_VOCAB
+
+        cfg = small_config()
+        cfg["keep_smaller_batches"] = False
+        cfg["batch_size"] = 64  # 3 samples -> no full batch ever
+        images = [np.zeros((32, 32), np.uint8)] * 3
+        conv = AttnLabelConverter(list(SYNTH_VOCAB))
+        loader = BucketLoader(
+            ArrayDataset(images, ["a b", "b", "a"]), conv, cfg, train=True
+        )
+        it = loader.infinite()
+        with pytest.raises(RuntimeError, match="0 batches"):
+            next(it)
+
     def test_export_csv_columns(self, tmp_path):
         import csv as _csv
 
