@@ -87,11 +87,16 @@ def main() -> None:
     # (same encoder; reference TransformerPrediction family, tfm.py:35-195)
     # at flagship scale — the second decode family's throughput row
     tfm = "--tfm" in sys.argv
+    # --big deepens the TFM head 3 -> 6 layers: the exact architecture of
+    # the shipped flagship release (config/train_hard_tfm_big.yaml /
+    # recog_cfg.yaml synthetic_tfm_big, EM 0.8562)
+    tfm_big = tfm and "--big" in sys.argv
     if tfm:
         cfg["Prediction"] = {
             "name": "TFM",
             "params": {
-                "d_model": 256, "nhead": 8, "num_decoder_layers": 3,
+                "d_model": 256, "nhead": 8,
+                "num_decoder_layers": 6 if tfm_big else 3,
                 "dim_feedforward": 1024, "dropout": 0.1,
             },
         }
@@ -179,7 +184,7 @@ def main() -> None:
 
     metric = "IM2LATEX-synth images/sec/chip, beam=5, 64x320, max_len=150"
     if tfm:
-        metric += ", TFM decoder"
+        metric += ", TFM-big decoder (6L)" if tfm_big else ", TFM decoder"
     if int8:
         if "decoder_kv" in quant_parts:
             metric += ", int8 encoder+decode-mem+kv-cache"
