@@ -75,6 +75,36 @@ class TestShardedInference:
         t2, _ = sharded(variables, img)
         np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
 
+    def test_sharded_tfm_decode_matches_single_device(self):
+        """Second decode family: the TFM head's fixed-slot KV-cache beam
+        decode must also be token-exact when batch-sharded over the mesh
+        (its caches/ancestry-mask state is per-sample, so dp sharding must
+        not change the math)."""
+        from tests.test_model_variants import V, cnn_config
+        from doc2tex_tpu.decode.runner import make_decode_fn
+        from doc2tex_tpu.models import build_model
+
+        cfg = cnn_config("ResNet", "None", "TFM")
+        model = build_model(cfg, V)
+        B = 8
+        img = np.random.default_rng(1).integers(
+            0, 255, (B, 32, 64, 1), dtype=np.uint8
+        )
+        variables = model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((B, 32, 64, 1), jnp.float32),
+            jnp.ones((B, 9), jnp.int32),
+            False,
+        )
+        single = make_decode_fn(model, cfg, beam_size=2, decode_chunks=2)
+        t1, _ = single(variables, jnp.asarray(img))
+
+        mesh = make_mesh({"data": 8, "model": 1})
+        sharded = make_decode_fn(model, cfg, beam_size=2, mesh=mesh,
+                                 decode_chunks=2)
+        t2, _ = sharded(variables, img)
+        np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+
     def test_sharded_train_step_runs(self):
         # covered end-to-end by __graft_entry__.dryrun_multichip
         import __graft_entry__ as g
