@@ -123,6 +123,32 @@ class TestDataParallelTraining:
         assert np.isfinite(metrics["loss"])
 
 
+class TestTFMFamilyOverMesh:
+    def test_engine_trains_tfm_head_over_mesh(self, tmp_path):
+        """The second decode family (TFM head) through the engine's dp x tp
+        mesh path — params shard, the fused step runs, loss is finite."""
+        from doc2tex_tpu.engine import train
+        from tests.test_loader_engine import small_config
+
+        cfg = small_config(
+            batch_size=8,
+            num_iter=4,
+            valInterval=4,
+            logInterval=4,
+            mesh_shape={"data": 4, "model": 2},
+            tp_min_size=2**10,
+            Prediction={
+                "name": "TFM",
+                "params": {
+                    "d_model": 64, "nhead": 4, "num_decoder_layers": 2,
+                    "dim_feedforward": 128, "dropout": 0.1,
+                },
+            },
+        )
+        metrics = train(cfg, str(tmp_path / "tfm_mesh"))
+        assert np.isfinite(metrics["loss"])
+
+
 class TestTensorParallelTraining:
     """VERDICT round-1 item #4: TP must be real in the engine — activation
     constraints at ViT-block and vocab-projection boundaries, engine runs
