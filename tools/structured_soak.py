@@ -141,6 +141,10 @@ def main() -> None:
                     "soak; /tmp does not survive machine restarts — long "
                     "runs should point this at saved_models/<name>, which "
                     "is gitignored)")
+    ap.add_argument("--tag_suffix", default="",
+                    help="append to the run tag so a new arm (e.g. a longer"
+                    "-budget rerun) gets its OWN curve file / ckpt dir "
+                    "instead of appending to an earlier arm's record")
     args = ap.parse_args()
 
     global CKPT_DIR, CURVE_PATH
@@ -153,6 +157,7 @@ def main() -> None:
             tag += "_gcb"
         if args.big:
             tag += "_big"
+        tag += args.tag_suffix
         CKPT_DIR = f"/tmp/{tag}_soak"
         CURVE_PATH = os.path.join(
             os.path.dirname(os.path.abspath(__file__)), f"{tag}_curve.jsonl"
@@ -202,7 +207,21 @@ def main() -> None:
     decode_fn = make_decode_fn(model, cfg, beam_size=5)
     os.makedirs(CKPT_DIR, exist_ok=True)
 
+    # held-out EM oscillates a few points late in training (see the
+    # hard_tfm_big curve 70k-100k) — keep the best-EM checkpoint
+    # separately so the release export isn't at the mercy of where the
+    # step budget happens to end
+    best_em = -1.0
+    if args.resume and os.path.exists(CURVE_PATH):
+        with open(CURVE_PATH) as f:
+            for line in f:
+                try:
+                    best_em = max(best_em, json.loads(line).get("em", -1.0))
+                except ValueError:
+                    pass
+
     def run_eval(it, t0):
+        nonlocal best_em
         class S:  # noqa: N801
             pass
 
@@ -221,6 +240,10 @@ def main() -> None:
             f.write(json.dumps(row) + "\n")
         save_checkpoint(ckpt, state, {"iter": it, "best_bleu": res["bleu"],
                                       "best_acc": res["accuracy"]})
+        if res["accuracy"] > best_em:
+            best_em = res["accuracy"]
+            save_checkpoint(os.path.join(CKPT_DIR, "best.msgpack"), state,
+                            {"iter": it, "best_acc": res["accuracy"]})
 
     # device-resident data pools (see doc2tex_tpu/data/device_pool.py for
     # the why: per-step host transfers cap the tunneled device <1 step/s)
