@@ -144,10 +144,9 @@ def run_infer(config, dataset, log_path: str | None = None) -> dict:
     # released weights, +27% headline throughput (BASELINE.md).
     # `int8_full` additionally stores the decode attention memory int8.
     quant_ctx = None
-    quant_parts = {
-        "int8": ("encoder",),
-        "int8_full": ("encoder", "decoder_mem"),
-    }.get(str(config.get("quantize", "")))
+    from doc2tex_tpu.ops.quant import parts_for_mode
+
+    quant_parts = parts_for_mode(config.get("quantize"))
     if quant_parts:
         from doc2tex_tpu.ops.quant import quantized_inference
 

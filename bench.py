@@ -56,11 +56,13 @@ def main() -> None:
     # per-step cost).  --int8-kv: + int8 growing TFM self-attn caches —
     # a measured LOSS at flagship shapes (ops/quant.py decoder_kv verdict),
     # kept as the large-model knob.
-    quant_parts = ("encoder",)
-    if "--int8-full" in sys.argv:
-        quant_parts = ("encoder", "decoder_mem")
+    from doc2tex_tpu.ops.quant import parts_for_mode
+
+    quant_parts = parts_for_mode(
+        "int8_full" if "--int8-full" in sys.argv else "int8"
+    )
     if "--int8-kv" in sys.argv:
-        quant_parts = ("encoder", "decoder_mem", "decoder_kv")
+        quant_parts = parts_for_mode("int8_full") + ("decoder_kv",)
     import jax
 
     # persistent compile cache: repeat bench runs skip the 30-200s XLA
@@ -247,9 +249,9 @@ def gate_main() -> None:
     import jax.numpy as jnp
 
     if int8:
-        from doc2tex_tpu.ops.quant import quantized_inference
+        from doc2tex_tpu.ops.quant import parts_for_mode, quantized_inference
 
-        parts = ("encoder", "decoder_mem") if int8_full else ("encoder",)
+        parts = parts_for_mode("int8_full" if int8_full else "int8")
         quantized_inference(parts=parts).__enter__()  # trace-time; held for the process
 
     try:

@@ -595,6 +595,9 @@ class _HardGen(_StructGen):
                  fonts=_HARD_FONTS):
         super().__init__(rng, scale, ink, max_tokens, max_depth)
         self.terms = hard_terminals()
+        # O(1) glyph-id lookup — list.index() per rendered glyph is an
+        # O(vocab) scan, ~10^8 string compares over a 16k-sample build
+        self._term_idx = {t: i for i, t in enumerate(self.terms)}
         self.unary = hard_unary()
         self.fonts = fonts
 
@@ -603,7 +606,7 @@ class _HardGen(_StructGen):
 
     def _render_terminal(self, t: str) -> np.ndarray:
         font = int(self.rng.integers(self.fonts))
-        g = _hard_glyph(self.terms.index(t), font)
+        g = _hard_glyph(self._term_idx[t], font)
         g = np.kron(g, np.ones((self.s, self.s), np.uint8))
         img = np.full(g.shape, _WHITE, np.uint8)
         img[g > 0] = self.ink

@@ -80,10 +80,19 @@ class MathDetector:
         # page-level NMS runs jitted at a FIXED (cap, top_k) shape — eager
         # lax ops dispatch one-by-one over the tunnel (~2 s each), and a
         # per-page variable box count would force a fresh compile per page
-        self._page_nms = jax.jit(
-            partial(nms_fixed, iou_thresh=self.iou_thresh, top_k=200)
-        )
+        self._page_nms_cache: dict = {}
         self._nms_cap = 512
+
+    def _page_nms(self, nb, ns, iou_thresh: Optional[float] = None):
+        """Jitted page NMS, cached per IoU threshold — a custom ``nms_iou``
+        must not fall back to eager ``nms_fixed`` (per-op tunnel dispatch,
+        ~2 s/op; see the comment above)."""
+        iou = self.iou_thresh if iou_thresh is None else float(iou_thresh)
+        fn = self._page_nms_cache.get(iou)
+        if fn is None:
+            fn = jax.jit(partial(nms_fixed, iou_thresh=iou, top_k=200))
+            self._page_nms_cache[iou] = fn
+        return fn(nb, ns)
 
     def _detect_impl(self, variables, x_u8, priors):
         # preprocess ON DEVICE: the host float32 3-channel version shipped
@@ -216,13 +225,9 @@ class MathDetector:
         ns = np.zeros((cap,), np.float32)
         nb[: len(page_boxes)] = page_boxes / np.array([W, H, W, H], np.float32)
         ns[: len(page_scores)] = page_scores
-        if nms_iou is not None and nms_iou != self.iou_thresh:
-            kb, ks = nms_fixed(
-                jnp.asarray(nb), jnp.asarray(ns),
-                iou_thresh=nms_iou, top_k=200,
-            )
-        else:
-            kb, ks = self._page_nms(jnp.asarray(nb), jnp.asarray(ns))
+        kb, ks = self._page_nms(
+            jnp.asarray(nb), jnp.asarray(ns), iou_thresh=nms_iou
+        )
         kb, ks = np.asarray(kb), np.asarray(ks)
         keep = ks > 0
         boxes = kb[keep] * np.array([W, H, W, H], np.float32)

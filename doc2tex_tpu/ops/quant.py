@@ -85,6 +85,19 @@ class quantized_inference:
         return False
 
 
+def parts_for_mode(mode) -> Optional[tuple]:
+    """Map the config-surface ``quantize:`` mode string to the parts tuple
+    for :class:`quantized_inference` (None = unquantized).  The single
+    source of truth for every CLI/config entry point (recognition flow,
+    api/infer, bench) — ``decoder_kv`` is deliberately in NO mode: int8
+    growing KV caches are a measured loss at hd=32 flagship shapes (see
+    the class docstring verdict); callers opt in explicitly for hd>=128."""
+    return {
+        "int8": ("encoder",),
+        "int8_full": ("encoder", "decoder_mem"),
+    }.get(str(mode or ""))
+
+
 def active_quant_mode() -> Optional[str]:
     return _QUANT_STACK[-1][0] if _QUANT_STACK else None
 

@@ -69,10 +69,9 @@ def load_recog_config(
     Parity: reference ``demo/recog_cfg.yaml:1-59`` — a ``common`` block
     (arch + decode contract: beam 10, pad True) merged with a per-release
     ``versionN`` block (size regime, vocab, weights).  A flat yaml (no
-    ``common`` key) is passed through unchanged.  Relative vocab/weight
-    paths resolve against the repo root; a missing weights file degrades
-    to random init with a warning (we ship vocabs in-repo but, like the
-    reference repo, no trained weights).
+    ``common`` key) skips the version merge but gets the same path
+    handling.  Relative vocab/weight paths resolve against the repo
+    root; a missing weights file degrades to random init with a warning.
     """
     import logging
     import os
@@ -86,14 +85,15 @@ def load_recog_config(
     with open(path) as f:
         raw = yaml.safe_load(f)
     if "common" not in raw:
-        return make_config(raw), raw.get("weight_path")
-    if version not in raw:
-        raise KeyError(
-            f"unknown model version {version!r}; have "
-            f"{sorted(k for k in raw if k != 'common')}"
-        )
-    merged = dict(raw["common"])
-    merged.update(raw[version])
+        merged = dict(raw)
+    else:
+        if version not in raw:
+            raise KeyError(
+                f"unknown model version {version!r}; have "
+                f"{sorted(k for k in raw if k != 'common')}"
+            )
+        merged = dict(raw["common"])
+        merged.update(raw[version])
     vocab = merged.get("vocab")
     if vocab and not os.path.isabs(vocab):
         merged["vocab"] = os.path.join(root, vocab)
@@ -135,10 +135,9 @@ class MathRecognition:
         # headline bench — BASELINE.md); `quantize: int8_full` additionally
         # stores the decode attention memory int8 (halves decode-step HBM
         # reads).
-        self.quant_parts = {
-            "int8": ("encoder",),
-            "int8_full": ("encoder", "decoder_mem"),
-        }.get(str(self.config.get("quantize", "")))
+        from ..ops.quant import parts_for_mode
+
+        self.quant_parts = parts_for_mode(self.config.get("quantize"))
         self.converter = create_converter(self.config)
         self.config["num_class"] = self.converter.num_classes
         self.model = build_model(self.config, self.converter.num_classes)

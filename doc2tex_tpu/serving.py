@@ -128,6 +128,14 @@ class RecognitionServer:
         image = np.asarray(image)
         key = self.bucket_key(image) if self.bucket_key is not None else None
         req = _Request(image, key=key)
+        # the documented max_queue bound covers UNDISPATCHED requests —
+        # both the Queue and the dispatcher's _pending holdback (bucket-keyed
+        # traffic parks non-matching requests there), else a multi-bucket mix
+        # could accept ~2x max_queue before overload (approximate: len() of
+        # _pending is read cross-thread, which CPython makes safe)
+        cap = self._queue.maxsize
+        if cap and self._queue.qsize() + len(self._pending) >= cap:
+            raise ServerOverloaded(f"request queue full ({cap})")
         try:
             self._queue.put_nowait(req)
         except Full:
@@ -363,6 +371,15 @@ class PageServer:
             time.sleep(0.005)
         self._stop = True
         self._thread.join(timeout=timeout)
+        # fail anything still queued (drain deadline hit) so callers blocked
+        # in recognize_page().result() see ServerClosed instead of hanging
+        while True:
+            try:
+                req = self._queue.get_nowait()
+            except Empty:
+                break
+            if not req.future.done():
+                req.future.set_exception(ServerClosed("page server shut down"))
 
     def __enter__(self):
         return self

@@ -148,7 +148,7 @@ def main() -> None:
     args = ap.parse_args()
 
     global CKPT_DIR, CURVE_PATH
-    tag = ""
+    tag = "structured"  # the non-hard default arm
     if args.hard:
         tag = "hard" + ("" if args.attn == "coverage" else "_" + args.attn)
         if args.family == "tfm":
@@ -157,7 +157,8 @@ def main() -> None:
             tag += "_gcb"
         if args.big:
             tag += "_big"
-        tag += args.tag_suffix
+    tag += args.tag_suffix
+    if args.hard or args.tag_suffix:
         CKPT_DIR = f"/tmp/{tag}_soak"
         CURVE_PATH = os.path.join(
             os.path.dirname(os.path.abspath(__file__)), f"{tag}_curve.jsonl"
