@@ -168,6 +168,10 @@ def main(argv=None) -> int:
                     "saved_models/math_detect weights)")
     ap.add_argument("--stitch", action="store_true",
                     help="voting-stitch page regions instead of NMS")
+    ap.add_argument("--data_parallel", type=int, default=0, metavar="N",
+                    help="shard every decode batch over the first N "
+                    "visible devices (multi-chip serving; 0 = single "
+                    "device)")
     ap.add_argument("--platform", default=None,
                     choices=["cpu", "tpu", "axon"],
                     help="force a jax platform (env JAX_PLATFORMS may be "
@@ -198,7 +202,14 @@ def main(argv=None) -> int:
     from doc2tex_tpu.serving import RecognitionServer
 
     cfg, weights = load_recog_config(args.recog_config, args.model_version)
-    recog = MathRecognition(cfg, weights_path=weights, beam_size=args.beam_size)
+    mesh = None
+    if args.data_parallel:
+        from doc2tex_tpu.parallel import make_mesh
+
+        mesh = make_mesh({"data": args.data_parallel, "model": 1},
+                         devices=jax.devices()[: args.data_parallel])
+    recog = MathRecognition(cfg, weights_path=weights,
+                            beam_size=args.beam_size, mesh=mesh)
     server = RecognitionServer(
         recog,
         max_batch=args.max_batch,

@@ -43,6 +43,8 @@ def main() -> None:
     global BATCH, N_ITERS, BENCH_MAX_LEN
     if "--quick" in sys.argv:
         BATCH, N_ITERS, BENCH_MAX_LEN = 8, 2, 24
+    if "--batch" in sys.argv:  # batch-size override for sweep experiments
+        BATCH = int(sys.argv[sys.argv.index("--batch") + 1])
     trace_dir = None
     if "--trace" in sys.argv:  # jax profiler trace of the timed region
         trace_dir = "/tmp/doc2tex_trace"

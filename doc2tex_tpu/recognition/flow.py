@@ -118,10 +118,20 @@ class MathRecognition:
         beam_size: Optional[int] = None,
         seed: int = 0,
         use_clahe: Optional[bool] = None,
+        mesh=None,
     ):
+        """``mesh`` (a ``jax.sharding.Mesh``): decode every bucket batch
+        sharded over the mesh's ``data`` axis — multi-chip serving.  The
+        batch ladder is rounded up to the data-axis size so the sharded
+        program always divides evenly; padding rows replicate row 0 and
+        are trimmed, so outputs are token-identical to single-device
+        decode (``tests/test_recognition_extras.py``).  The serving front
+        (:class:`~doc2tex_tpu.serving.RecognitionServer`) inherits this
+        transparently — it only sees the batch callable."""
         self.config = config if config is not None else make_config(
             {"synthetic_data": 1}
         )
+        self.mesh = mesh
         # CLAHE is always-on in the reference demo recognizer's transform
         # (demo/HybridViT/helper.py:40-52); a model version trained without
         # it (e.g. the in-repo `synthetic` release) sets `clahe: False` in
@@ -168,7 +178,8 @@ class MathRecognition:
         key = self.beam_size
         if key not in self._decode_cache:
             self._decode_cache[key] = make_decode_fn(
-                self.model, self.config, beam_size=self.beam_size
+                self.model, self.config, beam_size=self.beam_size,
+                mesh=self.mesh,
             )
         return self._decode_cache[key]
 
@@ -240,6 +251,11 @@ class MathRecognition:
             # trimmed from the outputs
             n = batch.shape[0]
             padded_n = _snap_batch(n)
+            if self.mesh is not None:
+                # sharded decode: the batch axis splits over the data
+                # axis, so every snapped size must divide evenly
+                nd = int(self.mesh.shape["data"])
+                padded_n = -(-padded_n // nd) * nd
             if padded_n != n:
                 batch = np.concatenate(
                     [batch, np.repeat(batch[:1], padded_n - n, axis=0)]

@@ -105,6 +105,29 @@ class TestShardedInference:
         t2, _ = sharded(variables, img)
         np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
 
+    def test_recognition_flow_over_mesh(self):
+        """Serving-facing check: MathRecognition(mesh=) must produce the
+        same LaTeX strings as the single-device flow — the batch ladder is
+        rounded up to the data-axis size and padding rows are trimmed, so
+        dp-sharded decode is output-identical.  This is the path a
+        multi-chip RecognitionServer deployment rides."""
+        from tests.test_recognition_extras import tiny_recog_config
+        from doc2tex_tpu.recognition import MathRecognition
+
+        rng = np.random.default_rng(7)
+        crops = [
+            rng.integers(0, 255, (h, w), dtype=np.uint8)
+            for h, w in [(40, 100), (33, 60), (48, 120)]
+        ]
+        single = MathRecognition(config=tiny_recog_config(), beam_size=2)
+        sharded = MathRecognition(
+            config=tiny_recog_config(), beam_size=2,
+            mesh=make_mesh({"data": 8, "model": 1}),
+        )
+        assert single(crops) == sharded(crops)
+        # single-crop path: snap-1 must round up to the data-axis size
+        assert single(crops[0]) == sharded(crops[0])
+
     def test_sharded_train_step_runs(self):
         # covered end-to-end by __graft_entry__.dryrun_multichip
         import __graft_entry__ as g
