@@ -229,6 +229,7 @@ def main(argv=None) -> int:
             use_detect=True,
             stitch=args.stitch,
             recognizer=recog,  # share the crop recognizer — one model copy
+            detect_mesh=mesh,  # --data_parallel shards detection too
         )
         page_server = PageServer(app.detect_and_crop, server)
 

@@ -50,6 +50,7 @@ class App:
         stitch: bool = False,
         stitch_votes: float = 8,
         recognizer=None,
+        detect_mesh=None,
     ):
         self.use_detect = use_detect
         # stitch=True replaces page-level NMS with the voting stitch the
@@ -67,11 +68,13 @@ class App:
                 detect_weights = shipped if os.path.exists(shipped) else None
             if isinstance(detect_weights, str):
                 self.detector = MathDetector(
-                    weights_path=detect_weights, conf_thresh=conf_thresh
+                    weights_path=detect_weights, conf_thresh=conf_thresh,
+                    mesh=detect_mesh,
                 )
             else:
                 self.detector = MathDetector(
-                    variables=detect_weights, conf_thresh=conf_thresh
+                    variables=detect_weights, conf_thresh=conf_thresh,
+                    mesh=detect_mesh,
                 )
         else:
             self.detector = None

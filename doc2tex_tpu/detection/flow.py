@@ -45,13 +45,25 @@ class MathDetector:
         seed: int = 0,
         weights_path: Optional[str] = None,
         device_windows: bool = True,
+        mesh=None,
     ):
+        """``mesh`` (a ``jax.sharding.Mesh``): shard the window batch over
+        the mesh's ``data`` axis — multi-chip detection.  The window
+        count is white-padded up to the data-axis size (white windows
+        detect nothing above ``conf_thresh``; their rows are sliced off),
+        so results are identical to single-device detection
+        (``tests/test_parallel.py``)."""
         self.model = SSD512(num_classes=2)
         self.priors = jnp.asarray(make_priors(MATH_GTDB_512))
         self.conf_thresh = conf_thresh
         self.iou_thresh = iou_thresh
         self.window = window
         self.stride = stride
+        self.mesh = mesh
+        if mesh is not None:
+            # host-window chunks pad to batch_size, so it must divide
+            nd = int(mesh.shape["data"])
+            batch_size = -(-batch_size // nd) * nd
         self.batch_size = batch_size
         if variables is None:
             dummy = jnp.zeros((1, window, window, 3), jnp.float32)
@@ -94,10 +106,21 @@ class MathDetector:
             self._page_nms_cache[iou] = fn
         return fn(nb, ns)
 
+    def _shard_windows(self, x):
+        """Constrain the window-batch axis over the mesh's data axis
+        (no-op without a mesh; callers guarantee divisibility)."""
+        if self.mesh is None:
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(self.mesh, PartitionSpec("data"))
+        )
+
     def _detect_impl(self, variables, x_u8, priors):
         # preprocess ON DEVICE: the host float32 3-channel version shipped
         # ~100 MB/chunk over the tunnel; uint8 grayscale is ~8 MB
-        x = x_u8.astype(jnp.float32)
+        x = self._shard_windows(x_u8).astype(jnp.float32)
         if x.shape[-1] == 1:
             x = jnp.repeat(x, 3, axis=-1)
         x = x - jnp.asarray(MATH_GTDB_512["mean_pixel"], jnp.float32)
@@ -141,7 +164,15 @@ class MathDetector:
                 ((yc, win - h - yc), (xc, win - w - xc), (0, 0)),
                 constant_values=np.uint8(255),
             ))
-        return self._detect_impl(variables, jnp.stack(wins), priors)
+        n = len(wins)
+        if self.mesh is not None:
+            # pad the window count so the batch axis shards evenly; pad
+            # windows are all-white (no ink -> nothing above conf_thresh)
+            # and their rows are sliced off below
+            nd = int(self.mesh.shape["data"])
+            wins += [jnp.full_like(wins[0], np.uint8(255))] * (-n % nd)
+        boxes, scores = self._detect_impl(variables, jnp.stack(wins), priors)
+        return boxes[:n], scores[:n]
 
     @staticmethod
     def _snap_page(page: np.ndarray, quantum: int = 256, min_dim: int = 512):

@@ -128,6 +128,37 @@ class TestShardedInference:
         # single-crop path: snap-1 must round up to the data-axis size
         assert single(crops[0]) == sharded(crops[0])
 
+    def test_detection_flow_over_mesh(self):
+        """MathDetector(mesh=) shards the window batch over the data axis
+        (pad windows are white and sliced off), so full-page detection is
+        result-identical to single-device — the multi-chip page pipeline
+        surface."""
+        from doc2tex_tpu.detection.flow import MathDetector
+
+        page = np.full((600, 700), 255, np.uint8)
+        page[100:160, 50:400] = 0
+        page[320:380, 200:500] = 0
+        kw = dict(conf_thresh=0.01, stride=(512, 512), seed=3)
+        single = MathDetector(batch_size=2, **kw)
+        sharded = MathDetector(
+            batch_size=2, mesh=make_mesh({"data": 8, "model": 1}), **kw
+        )
+        b1, s1 = single.detect_page(page)
+        b2, s2 = sharded.detect_page(page)
+        np.testing.assert_array_equal(b1, b2)
+        np.testing.assert_array_equal(s1, s2)
+        # host-window path: batch_size rounds up to the data-axis size
+        host = MathDetector(batch_size=2, device_windows=False, **kw)
+        hostm = MathDetector(
+            batch_size=2, device_windows=False,
+            mesh=make_mesh({"data": 8, "model": 1}), **kw
+        )
+        assert hostm.batch_size == 8
+        b3, s3 = host.detect_page(page)
+        b4, s4 = hostm.detect_page(page)
+        np.testing.assert_array_equal(b3, b4)
+        np.testing.assert_array_equal(s3, s4)
+
     def test_sharded_train_step_runs(self):
         # covered end-to-end by __graft_entry__.dryrun_multichip
         import __graft_entry__ as g
