@@ -128,6 +128,30 @@ class TestShardedInference:
         # single-crop path: snap-1 must round up to the data-axis size
         assert single(crops[0]) == sharded(crops[0])
 
+    def test_int8_recognition_flow_over_mesh(self, monkeypatch):
+        """The release model versions set `quantize: int8`, so a
+        --data_parallel deployment traces the int8 encoder path under
+        batch sharding — the quantized sharded decode must match the
+        quantized single-device decode exactly."""
+        import doc2tex_tpu.ops.quant as quant
+        from tests.test_recognition_extras import tiny_recog_config
+        from doc2tex_tpu.recognition import MathRecognition
+
+        monkeypatch.setattr(quant, "MIN_CONTRACT", 1)
+        monkeypatch.setattr(quant, "MIN_OUT", 1)
+        crop = np.full((40, 90), 255, np.uint8)
+        crop[10:30, 10:80] = 0
+        qcfg = tiny_recog_config()
+        qcfg["quantize"] = "int8"
+        single = MathRecognition(config=qcfg)
+        qcfg2 = tiny_recog_config()
+        qcfg2["quantize"] = "int8"
+        sharded = MathRecognition(
+            config=qcfg2, mesh=make_mesh({"data": 8, "model": 1})
+        )
+        assert sharded.quant_parts == ("encoder",)
+        assert single(crop) == sharded(crop)
+
     def test_detection_flow_over_mesh(self):
         """MathDetector(mesh=) shards the window batch over the data axis
         (pad windows are white and sliced off), so full-page detection is
