@@ -44,7 +44,10 @@ def main() -> None:
     if "--quick" in sys.argv:
         BATCH, N_ITERS, BENCH_MAX_LEN = 8, 2, 24
     if "--batch" in sys.argv:  # batch-size override for sweep experiments
-        BATCH = int(sys.argv[sys.argv.index("--batch") + 1])
+        i = sys.argv.index("--batch") + 1
+        if i >= len(sys.argv) or not sys.argv[i].lstrip("-").isdigit():
+            sys.exit("usage: bench.py --batch N (integer)")
+        BATCH = int(sys.argv[i])
     trace_dir = None
     if "--trace" in sys.argv:  # jax profiler trace of the timed region
         trace_dir = "/tmp/doc2tex_trace"

@@ -46,6 +46,44 @@ def postprocess_prediction(s: str) -> str:
 DEFAULT_RECOG_CFG = "demo/recog_cfg.yaml"
 
 
+def coalesce_groups(
+    groups: dict, ratio: float
+) -> dict:
+    """Merge per-bucket index groups into CONTAINING buckets (serving
+    bucket coalescing).
+
+    Decode-invocation cost is nearly flat in batch size (320/442/536 ms at
+    batch 1/16/64 — BASELINE.md), so mixed sparse traffic that fragments
+    into one invocation per bucket is what caps serving throughput.
+    Padding a crop up to a containing bucket (white, top-left — exactly
+    the train-time ``pad_to_bucket``) merges those invocations.
+
+    Greedy, largest-first: each group joins the first already-kept target
+    whose bucket contains it elementwise AND whose area is <= ``ratio`` x
+    the group's native bucket area (the guard keeps a tiny formula out of
+    a mostly-white display bucket — off-distribution; the EM gate for the
+    shipped ratio is ``tools/coalesce_eval.py``).  Only buckets already
+    present are used as targets, so no new (larger) program shapes are
+    introduced.  ``ratio <= 1`` is the identity.
+    """
+    if ratio <= 1.0 or len(groups) < 2:
+        return groups
+    order = sorted(groups, key=lambda b: (b[0] * b[1], b), reverse=True)
+    merged: dict = {}
+    for b in order:
+        area = b[0] * b[1]
+        for t in merged:
+            if (
+                t[0] >= b[0] and t[1] >= b[1]
+                and t[0] * t[1] <= ratio * area
+            ):
+                merged[t].extend(groups[b])
+                break
+        else:
+            merged[b] = list(groups[b])
+    return merged
+
+
 def _snap_batch(n: int, cap: int = 64) -> int:
     """Snap the batch axis to {1, 8, cap, 2*cap, ...}.
 
@@ -119,13 +157,15 @@ class MathRecognition:
         seed: int = 0,
         use_clahe: Optional[bool] = None,
         mesh=None,
+        coalesce_ratio: Optional[float] = None,
     ):
         """``mesh`` (a ``jax.sharding.Mesh``): decode every bucket batch
         sharded over the mesh's ``data`` axis — multi-chip serving.  The
         batch ladder is rounded up to the data-axis size so the sharded
         program always divides evenly; padding rows replicate row 0 and
         are trimmed, so outputs are token-identical to single-device
-        decode (``tests/test_recognition_extras.py``).  The serving front
+        decode (``tests/test_parallel.py::TestShardedInference::
+        test_recognition_flow_over_mesh``).  The serving front
         (:class:`~doc2tex_tpu.serving.RecognitionServer`) inherits this
         transparently — it only sees the batch callable."""
         self.config = config if config is not None else make_config(
@@ -148,6 +188,14 @@ class MathRecognition:
         from ..ops.quant import parts_for_mode
 
         self.quant_parts = parts_for_mode(self.config.get("quantize"))
+        # serving bucket coalescing (see coalesce_groups): merge sparse
+        # bucket groups into containing buckets, bounded by this area
+        # ratio.  0/1 = off.  Config key `coalesce_ratio`; constructor
+        # arg overrides.
+        self.coalesce_ratio = float(
+            coalesce_ratio if coalesce_ratio is not None
+            else self.config.get("coalesce_ratio", 0.0) or 0.0
+        )
         self.converter = create_converter(self.config)
         self.config["num_class"] = self.converter.num_classes
         self.model = build_model(self.config, self.converter.num_classes)
@@ -235,6 +283,7 @@ class MathRecognition:
                 bucket = self.table.shapes[-1]
                 prepped[i] = img[: bucket[0], : bucket[1]]
             groups.setdefault(bucket, []).append(i)
+        groups = coalesce_groups(groups, self.coalesce_ratio)
 
         decode = self._decode_fn()
         results: list[str] = [""] * len(crops)

@@ -95,11 +95,23 @@ class RecognitionServer:
         batch_window_ms: float = 5.0,
         max_queue: int = 512,
         bucket_key: Optional[Callable[[np.ndarray], object]] = None,
+        coalesce_ratio: float = 0.0,
     ):
         if max_batch < 1:
             raise ValueError("max_batch must be >= 1")
         self.recognizer = recognizer
         self.bucket_key = bucket_key
+        # bucket coalescing (needs bucket_key returning (h, w) tuples):
+        # a dispatch batch may mix a CONTAINED bucket into a containing
+        # one when the containing bucket's area is <= ratio x the smaller
+        # request's native bucket area — the recognizer pads the smaller
+        # crops up (white, top-left = the train-time pad) and decodes the
+        # whole batch in ONE invocation (invocation cost is ~flat in
+        # batch size, so merging sparse per-bucket queues is the serving
+        # throughput lever).  The recognizer must be constructed with the
+        # same `coalesce_ratio`, else the mixed batch re-fragments
+        # internally.  0/1 = strictly shape-pure (the round-3 behavior).
+        self.coalesce_ratio = float(coalesce_ratio)
         self._pending: list = []  # dispatcher-thread only (stats read len)
         self.max_batch = int(max_batch)
         self.window_s = float(batch_window_ms) / 1e3
@@ -249,12 +261,16 @@ class RecognitionServer:
 
     def _select_batch(self) -> list:
         """Oldest request's bucket, filled up to max_batch (shape-pure
-        when ``bucket_key`` is set; plain FIFO prefix otherwise)."""
+        when ``bucket_key`` is set; plain FIFO prefix otherwise).  With
+        ``coalesce_ratio`` > 1, contained buckets within the area-ratio
+        guard join the batch too (see ``__init__``)."""
         pending = self._pending
         if self.bucket_key is None:
             batch = pending[: self.max_batch]
             del pending[: len(batch)]
             return batch
+        if self.coalesce_ratio > 1.0:
+            return self._select_coalesced()
         key0 = pending[0].key
         batch, rest = [], []
         for r in pending:
@@ -262,6 +278,41 @@ class RecognitionServer:
                 batch.append(r)
             else:
                 rest.append(r)
+        pending[:] = rest
+        return batch
+
+    def _select_coalesced(self) -> list:
+        """Oldest-first greedy merge: grow a target bucket over pending
+        requests whose buckets nest with it (one contains the other) while
+        the target area stays <= ratio x every member's native bucket area.
+        The target is always a member's own bucket, so the recognizer's
+        ``coalesce_groups`` (same ratio) collapses the batch to exactly
+        one decode invocation."""
+        pending = self._pending
+        ratio = self.coalesce_ratio
+        target = pending[0].key
+        min_area = target[0] * target[1]
+        batch, rest = [pending[0]], []
+        for r in pending[1:]:
+            if len(batch) >= self.max_batch:
+                rest.append(r)
+                continue
+            bh, bw = r.key
+            th, tw = target
+            if bh <= th and bw <= tw:
+                cand = target
+            elif bh >= th and bw >= tw:
+                cand = r.key
+            else:  # incomparable buckets never share a decode
+                rest.append(r)
+                continue
+            area = bh * bw
+            if cand[0] * cand[1] > ratio * min(min_area, area):
+                rest.append(r)
+                continue
+            target = cand
+            min_area = min(min_area, area)
+            batch.append(r)
         pending[:] = rest
         return batch
 

@@ -212,6 +212,23 @@ class TestGrammarValidatorLoop:
         _, labels = synth_hard_dataset(300, seed=12)
         self._check(labels)
 
+    def test_long_labels_validate(self):
+        # round-4 long multi-line arm (the reference eval contract's
+        # 448x960 / len<=500 regime): same decodable-label contract
+        from doc2tex_tpu.data.synthetic import hard_vocab, synth_long_dataset
+
+        imgs, labels = synth_long_dataset(40, seed=13)
+        self._check(labels)
+        vocab = set(hard_vocab())
+        lens = [len(lb.split()) for lb in labels]
+        for img, lb in zip(imgs, labels):
+            toks = lb.split()
+            assert set(toks) <= vocab  # frozen vocab: fine-tunable weights
+            assert toks[0] == "\\begin{matrix}" and toks[-1] == "\\end{matrix}"
+            assert len(toks) <= 500
+            assert img.shape[0] <= 448 and img.shape[1] <= 960
+        assert max(lens) > 150  # actually exercises decode past the old cap
+
     def test_hard_vocab_reference_scale(self):
         # reference regime: UNK-thresholded vocabs are several hundred
         # tokens (generate_latex_vocab.py); ours draws from the generated

@@ -230,6 +230,107 @@ class TestBucketAwareDispatch:
             assert recog.bucket_key(crop) == bucket
 
 
+class TestCoalescedDispatch:
+    """Bucket coalescing (round-4): contained buckets share a dispatch
+    batch within the area-ratio guard, and the recognizer collapses the
+    mixed batch into ONE decode invocation."""
+
+    def _mixed_run(self, ratio, shapes, max_batch=64):
+        gate = threading.Event()
+        recog = FakeRecognizer(gate=gate)
+        srv = RecognitionServer(
+            recog, max_batch=max_batch, batch_window_ms=0,
+            bucket_key=lambda im: im.shape, coalesce_ratio=ratio,
+        )
+        try:
+            warm = srv.submit(np.zeros((2, 2), np.uint8))
+            assert recog.entered.wait(timeout=5.0)
+            futs = [
+                srv.submit(np.full(s, v, np.uint8))
+                for v, s in enumerate(shapes)
+            ]
+            gate.set()
+            assert warm.result(timeout=10.0) == "px0"
+            assert [f.result(timeout=10.0) for f in futs] == [
+                f"px{v}" for v in range(len(shapes))
+            ]
+        finally:
+            srv.close()
+        return recog.batches[1:]
+
+    def test_contained_buckets_merge_within_ratio(self):
+        # (8,8) area 64 == 4.0 x (4,4) area 16 -> one mixed batch
+        shapes = [(4, 4) if v % 2 == 0 else (8, 8) for v in range(12)]
+        assert self._mixed_run(4.0, shapes) == [12]
+
+    def test_ratio_guard_keeps_far_buckets_apart(self):
+        # (16,16) area 256 > 4.0 x (4,4) area 16 -> stays shape-pure
+        shapes = [(4, 4) if v % 2 == 0 else (16, 16) for v in range(12)]
+        assert sorted(self._mixed_run(4.0, shapes)) == [6, 6]
+
+    def test_incomparable_buckets_never_merge(self):
+        # neither (4,16) nor (8,8) contains the other
+        shapes = [(4, 16) if v % 2 == 0 else (8, 8) for v in range(8)]
+        assert sorted(self._mixed_run(100.0, shapes)) == [4, 4]
+
+    def test_ratio_off_is_shape_pure(self):
+        shapes = [(4, 4) if v % 2 == 0 else (8, 8) for v in range(12)]
+        assert sorted(self._mixed_run(0.0, shapes)) == [6, 6]
+
+    def test_coalesce_groups_unit(self):
+        from doc2tex_tpu.recognition.flow import coalesce_groups
+
+        groups = {(32, 64): [0, 1], (64, 128): [2], (32, 320): [3]}
+        out = coalesce_groups(groups, ratio=4.0)
+        # (32,64) area 2048 merges into (64,128) area 8192 (= 4.0x);
+        # (32,320) is incomparable with (64,128) and stays
+        assert out == {(64, 128): [2, 0, 1], (32, 320): [3]}
+        # ratio off = identity
+        assert coalesce_groups(groups, 0.0) == groups
+        # guard: 8192 > 2 x 2048 -> no merge
+        out2 = coalesce_groups({(32, 64): [0], (64, 128): [1]}, 2.0)
+        assert out2 == {(64, 128): [1], (32, 64): [0]}
+
+    def test_recognizer_single_invocation_for_mixed_batch(self):
+        from tests.test_loader_engine import small_config
+        from doc2tex_tpu.recognition.flow import MathRecognition
+
+        cfg = small_config()
+        recog = MathRecognition(
+            cfg, beam_size=1, use_clahe=False, coalesce_ratio=1e9
+        )
+        calls = []
+        real = recog._decode_fn()
+
+        def spy(variables, batch):
+            calls.append(batch.shape)
+            return real(variables, batch)
+
+        recog._decode_cache[recog.beam_size] = spy
+        rng = np.random.default_rng(3)
+        crops = [
+            (rng.random((h, w)) * 255).astype(np.uint8)
+            for h, w in [(20, 30), (40, 90), (22, 60), (60, 120)]
+        ]
+        keys = {recog.bucket_key(c) for c in crops}
+        assert len(keys) > 1  # the workload really is multi-bucket
+        out = recog(crops)
+        assert len(out) == len(crops)
+        assert len(calls) == 1  # coalesced into one decode invocation
+        # without coalescing the same traffic fragments per bucket
+        recog2 = MathRecognition(cfg, beam_size=1, use_clahe=False)
+        calls2 = []
+        real2 = recog2._decode_fn()
+
+        def spy2(variables, batch):
+            calls2.append(batch.shape)
+            return real2(variables, batch)
+
+        recog2._decode_cache[recog2.beam_size] = spy2
+        recog2(crops)
+        assert len(calls2) == len(keys)
+
+
 def fake_detect_and_crop(page):
     """Deterministic stand-in for App.detect_and_crop: one crop per
     distinct value v in row 0, each crop an (8,8) field of v."""

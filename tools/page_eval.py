@@ -1,0 +1,186 @@
+"""Joint page-level accuracy: detect -> crop -> recognize, scored end-to-end.
+
+VERDICT r3 weak #7: detection F and crop EM were each measured in
+isolation; nothing scored the PIPELINE, so nothing could gate serving/
+stitch changes on end-to-end accuracy.  This tool generates synthetic
+GTDB-style pages whose regions are HARD-benchmark formula renders (the
+distribution the released recognizers were trained on), runs the demo
+pipeline (``demo/app.py`` App.detect_and_crop + the released recognizer),
+IoU-matches detections to ground-truth boxes, and reports:
+
+- detection precision / recall / F1 @ IoU 0.5 (coarse, the GTDB metric);
+- EM / BLEU over MATCHED regions (recognition quality on real detector
+  crops, which include the detector's framing error — tighter or looser
+  than the GT box);
+- end-to-end accuracy = correctly-recognized / all GT regions (a region
+  counts only if it was both detected AND transcribed exactly).
+
+Reference anchors: stitch+scoring flow of
+``demo/ScanSSD/gtdb/stitch_patches_pdf.py:203-317`` + IOU_lib, CSV-merge
+of ``doc2tex/tools/result_evaluate/evaluate_images.py:51-164``.
+
+Run (real TPU, idle):
+    python tools/page_eval.py [--pages 100] [--version synthetic_tfm_big]
+        [--stitch] [--coalesce_ratio R]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+PAGE_H, PAGE_W = 1024, 1280
+EVAL_SEED = 35  # distinct from train 31 / curves 32 / release 33 / coalesce 34
+
+
+def synth_labelled_page(rng, n_regions=6):
+    """One page of pasted hard-benchmark renders.
+    Returns (page u8 (H, W), [(x1, y1, x2, y2), ...], [label, ...])."""
+    from doc2tex_tpu.data.synthetic import synth_hard_sample
+
+    page = np.full((PAGE_H, PAGE_W), 255, np.uint8)
+    boxes, labels = [], []
+    for _ in range(n_regions):
+        img, label = synth_hard_sample(
+            rng, min_len=8, max_len=40, max_h=160, max_w=520,
+            scale_range=(3, 5),
+        )
+        h, w = img.shape
+        for _try in range(20):
+            y = int(rng.integers(0, PAGE_H - h))
+            x = int(rng.integers(0, PAGE_W - w))
+            box = (x, y, x + w, y + h)
+            # 12px margin so adjacent regions don't merge under detection
+            if all(
+                box[2] + 12 <= b[0] or box[0] >= b[2] + 12
+                or box[3] + 12 <= b[1] or box[1] >= b[3] + 12
+                for b in boxes
+            ):
+                page[y : y + h, x : x + w] = img
+                boxes.append(box)
+                labels.append(label)
+                break
+    return page, boxes, labels
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pages", type=int, default=100)
+    ap.add_argument("--version", default="synthetic_tfm_big")
+    ap.add_argument("--stitch", action="store_true",
+                    help="voting stitch instead of page NMS")
+    ap.add_argument("--beam", type=int, default=None,
+                    help="override the demo contract beam (10)")
+    ap.add_argument("--coalesce_ratio", type=float, default=None,
+                    help="recognizer bucket coalescing (gate A/B)")
+    ap.add_argument("--iou", type=float, default=0.5)
+    args = ap.parse_args()
+
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    import demo.app as demo_app
+    from doc2tex_tpu.detection.evaluate import iou_matrix
+    from doc2tex_tpu.recognition.flow import (
+        MathRecognition,
+        load_recog_config,
+        postprocess_prediction,
+    )
+    from doc2tex_tpu.utils.metrics import get_single_ED
+
+    cfg, weights = load_recog_config(version=args.version)
+    recog = MathRecognition(cfg, weights_path=weights, beam_size=args.beam,
+                            coalesce_ratio=args.coalesce_ratio)
+    app = demo_app.App(use_detect=True, stitch=args.stitch, recognizer=recog)
+
+    rng = np.random.default_rng(EVAL_SEED)
+    pages = [synth_labelled_page(rng) for _ in range(args.pages)]
+    n_gt = sum(len(b) for _, b, _ in pages)
+    print(f"page_eval: {args.pages} pages / {n_gt} GT regions, "
+          f"version={args.version} beam={recog.beam_size} "
+          f"quantize={cfg.get('quantize')} stitch={args.stitch} "
+          f"coalesce={recog.coalesce_ratio}", file=sys.stderr, flush=True)
+
+    tp = fp = fn = 0
+    matched_pairs = []  # (pred_latex_crop, gt_label)
+    t_detect = t_recog = 0.0
+    for pi, (page, gt_boxes, gt_labels) in enumerate(pages):
+        t0 = time.time()
+        det_boxes, crops = app.detect_and_crop(page)
+        t_detect += time.time() - t0
+        t0 = time.time()
+        latexes = recog(crops) if crops else []
+        t_recog += time.time() - t0
+        # greedy unique matching, detection-major (score order is lost
+        # after crop filtering; boxes come sorted by detector confidence)
+        gt = np.asarray(gt_boxes, np.float32).reshape(-1, 4)
+        db = np.asarray(det_boxes, np.float32).reshape(-1, 4)
+        iou = iou_matrix(db, gt)
+        taken = np.zeros(len(gt), bool)
+        for i in range(len(db)):
+            cand = np.where(~taken, iou[i], -1.0) if len(gt) else []
+            j = int(np.argmax(cand)) if len(gt) else -1
+            if j >= 0 and cand[j] >= args.iou:
+                taken[j] = True
+                tp += 1
+                matched_pairs.append((latexes[i], gt_labels[j]))
+            else:
+                fp += 1
+        fn += int((~taken).sum())
+        if (pi + 1) % 20 == 0:
+            print(f"  {pi+1}/{args.pages} pages", file=sys.stderr, flush=True)
+
+    prec = tp / max(tp + fp, 1)
+    rec = tp / max(tp + fn, 1)
+    f1 = 2 * prec * rec / max(prec + rec, 1e-9)
+    gts = [postprocess_prediction(g) for _, g in matched_pairs]
+    preds = [p for p, _ in matched_pairs]
+    n_match = len(matched_pairs)
+    correct = sum(p == g for p, g in zip(preds, gts))
+    em_matched = correct / max(n_match, 1)
+    # char-level match score (postprocessed strings are compact LaTeX, so
+    # token-level BLEU would be degenerate — validation()'s "ED" metric)
+    char_match = (
+        sum(get_single_ED(g, p) for p, g in zip(preds, gts)) / n_match
+        if n_match else 0.0
+    )
+    out = {
+        "version": args.version, "pages": args.pages, "gt_regions": n_gt,
+        "stitch": bool(args.stitch), "beam": recog.beam_size,
+        "quantize": cfg.get("quantize"),
+        "coalesce_ratio": recog.coalesce_ratio, "iou_thresh": args.iou,
+        "det_precision": round(prec, 4), "det_recall": round(rec, 4),
+        "det_f1": round(f1, 4),
+        "em_matched": round(em_matched, 4),
+        "char_matched": round(char_match, 4),
+        "end_to_end_acc": round(correct / max(n_gt, 1), 4),
+        "detect_s_per_page": round(t_detect / args.pages, 3),
+        "recog_s_per_page": round(t_recog / args.pages, 3),
+        "seed": EVAL_SEED,
+    }
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "page_eval_r04.json")
+    merged = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            merged = json.load(f)
+    key = args.version + ("_stitch" if args.stitch else "") + (
+        f"_co{args.coalesce_ratio:g}" if args.coalesce_ratio else "")
+    merged[key] = out
+    with open(path, "w") as f:
+        json.dump(merged, f, indent=1, sort_keys=True)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -45,7 +45,8 @@ CURVE_PATH = os.path.join(
 
 
 def build(steps: int, hard: bool = False, attn: str = "coverage",
-          gcb: bool = False, family: str = "attn", big: bool = False):
+          gcb: bool = False, family: str = "attn", big: bool = False,
+          long: bool = False):
     try:  # persistent compile cache: restarts skip the ~2-4 min/bucket
         import jax as _jax  # remote grad compiles (measured 90s at 64x64)
 
@@ -55,11 +56,18 @@ def build(steps: int, hard: bool = False, attn: str = "coverage",
         pass
     cfg = make_config(dict(
         # hard mode (round 3): reference-scale regime — KaTeX-inventory
-        # vocab, 3 fonts, render noise, len<=150, display-size canvases
-        max_dimension=[224, 704] if hard else [160, 448],
+        # vocab, 3 fonts, render noise, len<=150, display-size canvases.
+        # long mode (round 4, VERDICT r3 weak #4): the reference EVAL
+        # contract's regime — 448x960 canvases, decode up to 500 tokens
+        # (config/test.yaml:5), multi-line align-style displays
+        # (synth_long_dataset) mixed 50/50 with flat hard samples
+        max_dimension=[448, 960] if long else
+        [224, 704] if hard else [160, 448],
         min_dimension=[32, 32],
-        batch_max_length=150 if hard else 48,
-        batch_size=32 if hard else 48,
+        batch_max_length=500 if long else 150 if hard else 48,
+        # long arm: B=16 — the 448x960 x (6L TFM over L=501) train step
+        # at B=32 would court HBM exhaustion on a 16G v5e
+        batch_size=16 if long else 32 if hard else 48,
         # hard mode carries its own render noise; stacking the geometric
         # train augment on top pushed the task past the model's capacity
         augment=not hard,
@@ -136,6 +144,16 @@ def main() -> None:
     ap.add_argument("--big", action="store_true",
                     help="capacity-scaling arm: flagship-scale encoder "
                     "(256x6) + deeper decoder (TFM 256/8h/6L)")
+    ap.add_argument("--long", action="store_true",
+                    help="long-formula arm (use with --hard --family tfm "
+                    "--big): 448x960 canvases, batch_max_length 500, "
+                    "50/50 multi-line long + flat hard samples — the "
+                    "reference eval contract's missing axis")
+    ap.add_argument("--init_from", default=None,
+                    help="warm-start params from a released weights file "
+                    "(load_pretrained_variables; optimizer starts fresh) — "
+                    "e.g. saved_models/math_recog/synthetic_tfm_big/"
+                    "best_weights.msgpack for the long fine-tune")
     ap.add_argument("--ckpt_dir", default=None,
                     help="override the checkpoint dir (default /tmp/<tag>_"
                     "soak; /tmp does not survive machine restarts — long "
@@ -157,6 +175,8 @@ def main() -> None:
             tag += "_gcb"
         if args.big:
             tag += "_big"
+        if args.long:
+            tag += "_long"
     tag += args.tag_suffix
     if args.hard or args.tag_suffix:
         CKPT_DIR = f"/tmp/{tag}_soak"
@@ -167,8 +187,23 @@ def main() -> None:
         CKPT_DIR = args.ckpt_dir
 
     cfg = build(args.steps, hard=args.hard, attn=args.attn, gcb=args.gcb,
-                family=args.family, big=args.big)
-    if args.hard:
+                family=args.family, big=args.big, long=args.long)
+    if args.long:
+        from doc2tex_tpu.data.synthetic import (
+            hard_vocab, synth_hard_dataset, synth_long_dataset,
+        )
+
+        kw_hard = {"min_len": 8, "max_len": 150, "max_h": 220, "max_w": 696,
+                   "scale_range": (3, 5)}
+        n_half = args.n_train // 2
+        li, ll = synth_long_dataset(n_half, seed=31)
+        hi, hl = synth_hard_dataset(args.n_train - n_half, seed=31, **kw_hard)
+        tr_images, tr_labels = li + hi, ll + hl
+        # held-out eval: LONG samples only (the flat-hard axis is covered
+        # by tools/release_eval.py at n>=1024)
+        ev_images, ev_labels = synth_long_dataset(args.n_eval, seed=32)
+        vocab = hard_vocab()
+    elif args.hard:
         from doc2tex_tpu.data.synthetic import hard_vocab, synth_hard_dataset
 
         # calibrated operating point (see synth_hard_sample scale_range
@@ -193,6 +228,14 @@ def main() -> None:
 
     model = build_model(cfg, conv.num_classes)
     state, tx = create_train_state(model, cfg, jax.random.PRNGKey(0), (32, 64, 64, 1))
+    if args.init_from:
+        from doc2tex_tpu.train.checkpoint import load_pretrained_variables
+
+        p, bs, info = load_pretrained_variables(
+            args.init_from, state.params, state.batch_stats
+        )
+        state = state._replace(params=p, batch_stats=bs)
+        print(f"warm-started from {args.init_from}: {info}", flush=True)
     start = 0
     ckpt = os.path.join(CKPT_DIR, "last.msgpack")
     if args.resume and os.path.exists(ckpt):
