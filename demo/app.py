@@ -51,6 +51,7 @@ class App:
         stitch_votes: float = 8,
         recognizer=None,
         detect_mesh=None,
+        detect_quantize=None,
     ):
         self.use_detect = use_detect
         # stitch=True replaces page-level NMS with the voting stitch the
@@ -69,12 +70,12 @@ class App:
             if isinstance(detect_weights, str):
                 self.detector = MathDetector(
                     weights_path=detect_weights, conf_thresh=conf_thresh,
-                    mesh=detect_mesh,
+                    mesh=detect_mesh, quantize=detect_quantize,
                 )
             else:
                 self.detector = MathDetector(
                     variables=detect_weights, conf_thresh=conf_thresh,
-                    mesh=detect_mesh,
+                    mesh=detect_mesh, quantize=detect_quantize,
                 )
         else:
             self.detector = None

@@ -46,6 +46,7 @@ class MathDetector:
         weights_path: Optional[str] = None,
         device_windows: bool = True,
         mesh=None,
+        quantize: Optional[str] = None,
     ):
         """``mesh`` (a ``jax.sharding.Mesh``): shard the window batch over
         the mesh's ``data`` axis — multi-chip detection.  The window
@@ -89,6 +90,22 @@ class MathDetector:
         self._detect = lambda v, x: jitted(v, x, self.priors)
         jitted_page = jax.jit(self._detect_page_impl)
         self._detect_full_page = lambda v, p: jitted_page(v, p, self.priors)
+        # opt-in int8 detection (`quantize="int8"`): the SSD trunk's
+        # 512-channel convs trace through ops/quant.py (shape-gated, like
+        # the recognizer encoder).  Trace-time context — wrapping every
+        # call is free after the first compile.
+        from ..ops.quant import parts_for_mode, quantized_inference
+
+        self.quant_parts = parts_for_mode(quantize)
+        if self.quant_parts:
+            def _q(fn):
+                def inner(*a):
+                    with quantized_inference(parts=self.quant_parts):
+                        return fn(*a)
+                return inner
+
+            self._detect = _q(self._detect)
+            self._detect_full_page = _q(self._detect_full_page)
         # page-level NMS runs jitted at a FIXED (cap, top_k) shape — eager
         # lax ops dispatch one-by-one over the tunnel (~2 s each), and a
         # per-page variable box count would force a fresh compile per page

@@ -64,8 +64,16 @@ class SSD512(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        from ..ops.quant import maybe_conv_general
+
         cfg = MATH_GTDB_512
-        conv = lambda f, k, **kw: nn.Conv(f, k, dtype=self.dtype, **kw)
+        # int8 under an active quantized_inference("encoder") trace: the
+        # 512-channel VGG trunk convs are exactly the shapes the int8
+        # microbench gains 1.39x on (tools/int8_microbench.py); the
+        # shape gate inside int8_conv keeps the small heads bf16/f32
+        conv = lambda f, k, **kw: nn.Conv(
+            f, k, dtype=self.dtype,
+            conv_general_dilated=maybe_conv_general(), **kw)
         relu = nn.relu
 
         # stage 1

@@ -48,6 +48,27 @@ class TestSSDShapes:
         assert loc.shape == (2, n_priors, 4)
         assert conf.shape == (2, n_priors, 2)
 
+    def test_int8_trace_close_to_f32(self, model_vars):
+        # round-4 detect quant knob: the SSD trunk traced under
+        # quantized_inference must produce finite, near-f32 outputs
+        # (shape-gated int8 convs, ops/quant.py)
+        from doc2tex_tpu.ops.quant import quantized_inference
+
+        model, variables = model_vars
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(size=(1, 512, 512, 3)).astype(np.float32))
+        loc0, conf0 = jax.jit(model.apply)(variables, x)
+        with quantized_inference(parts=("encoder",)):
+            loc1, conf1 = jax.jit(model.apply)(variables, x)
+        assert np.isfinite(np.asarray(loc1)).all()
+        assert np.isfinite(np.asarray(conf1)).all()
+        # int8 is an approximation; demand agreement, not equality
+        denom = np.abs(np.asarray(conf0)).mean() + 1e-6
+        rel = np.abs(np.asarray(conf1) - np.asarray(conf0)).mean() / denom
+        assert rel < 0.35, f"int8 conf drifted {rel:.3f} from f32"
+        # and the quant context really changed the trace (not a no-op)
+        assert not np.allclose(np.asarray(conf1), np.asarray(conf0))
+
 
 class TestBoxes:
     def test_decode_identity(self):

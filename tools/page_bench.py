@@ -83,6 +83,9 @@ def main() -> None:
                     "of the sequential demo loop")
     ap.add_argument("--beam", type=int, default=None,
                     help="override the demo contract's beam size")
+    ap.add_argument("--int8-detect", action="store_true",
+                    help="int8 SSD trunk (ops/quant.py via "
+                    "MathDetector(quantize='int8'))")
     args = ap.parse_args()
     n_pages = 3 if args.quick else args.pages
 
@@ -105,7 +108,9 @@ def main() -> None:
         cfg["batch_max_length"] = 40
     beam = args.beam if args.beam is not None else int(cfg["beam_size"])
 
-    detector = MathDetector()
+    detector = MathDetector(
+        quantize="int8" if args.int8_detect else None
+    )
     recognizer = MathRecognition(config=cfg, beam_size=beam)
     print(
         f"page bench: {n_pages} pages {PAGE_H}x{PAGE_W}, beam={beam}, "

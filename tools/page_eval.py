@@ -78,6 +78,9 @@ def main() -> None:
                     help="override the demo contract beam (10)")
     ap.add_argument("--coalesce_ratio", type=float, default=None,
                     help="recognizer bucket coalescing (gate A/B)")
+    ap.add_argument("--int8_detect", action="store_true",
+                    help="int8 SSD trunk (accuracy gate for the detect "
+                    "quant knob)")
     ap.add_argument("--iou", type=float, default=0.5)
     args = ap.parse_args()
 
@@ -101,7 +104,10 @@ def main() -> None:
     cfg, weights = load_recog_config(version=args.version)
     recog = MathRecognition(cfg, weights_path=weights, beam_size=args.beam,
                             coalesce_ratio=args.coalesce_ratio)
-    app = demo_app.App(use_detect=True, stitch=args.stitch, recognizer=recog)
+    app = demo_app.App(
+        use_detect=True, stitch=args.stitch, recognizer=recog,
+        detect_quantize="int8" if args.int8_detect else None,
+    )
 
     rng = np.random.default_rng(EVAL_SEED)
     pages = [synth_labelled_page(rng) for _ in range(args.pages)]

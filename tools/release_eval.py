@@ -57,14 +57,20 @@ def main() -> None:
                     "multiples keeps ~2/3 — 1536 keeps >=1024")
     ap.add_argument("--family", default="attn", choices=["attn", "tfm"])
     ap.add_argument("--big", action="store_true")
+    ap.add_argument("--long", action="store_true",
+                    help="evaluate the synthetic_long release on held-out "
+                    "LONG samples (448x960, up to 500 tokens)")
     ap.add_argument("--modes", default="bf16,int8")
     ap.add_argument("--weights", default=None)
     args = ap.parse_args()
 
     version = (
-        "synthetic" if args.family == "attn"
+        "synthetic_long" if args.long
+        else "synthetic" if args.family == "attn"
         else "synthetic_tfm_big" if args.big else "synthetic_tfm"
     )
+    if args.long:
+        args.family, args.big = "tfm", True
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     weights = args.weights or os.path.join(
         root, "saved_models", "math_recog", version, "best_weights.msgpack"
@@ -89,11 +95,19 @@ def main() -> None:
     from doc2tex_tpu.train.checkpoint import load_pretrained_variables
     from doc2tex_tpu.train.trainer import init_model
 
-    cfg = build(100000, hard=True, family=args.family, big=args.big)
-    kw = {"min_len": 8, "max_len": 150, "max_h": 220, "max_w": 696,
-          "scale_range": (3, 5)}  # the soak's calibrated operating point
+    cfg = build(100000, hard=True, family=args.family, big=args.big,
+                long=args.long)
     t0 = time.time()
-    ev_images, ev_labels = synth_hard_dataset(args.n_gen, seed=EVAL_SEED, **kw)
+    if args.long:
+        from doc2tex_tpu.data.synthetic import synth_long_dataset
+
+        ev_images, ev_labels = synth_long_dataset(
+            args.n_gen, seed=EVAL_SEED)
+    else:
+        kw = {"min_len": 8, "max_len": 150, "max_h": 220, "max_w": 696,
+              "scale_range": (3, 5)}  # the soak's calibrated operating point
+        ev_images, ev_labels = synth_hard_dataset(
+            args.n_gen, seed=EVAL_SEED, **kw)
     print(f"generated {args.n_gen} samples in {time.time()-t0:.0f}s",
           file=sys.stderr, flush=True)
     conv_cls = TFMLabelConverter if args.family == "tfm" else AttnLabelConverter

@@ -72,7 +72,10 @@ def build(steps: int, hard: bool = False, attn: str = "coverage",
         # train augment on top pushed the task past the model's capacity
         augment=not hard,
         keep_smaller_batches=False,  # ragged tails would double the compiles
-        bucket_growth=2.2,  # 1-CPU box: keep the compile count ~a dozen
+        # long arm: growth 4.0 — the 448x960 regime at 2.2 populates ~10
+        # buckets and every big-shape remote grad compile is minutes; the
+        # coarser ladder trades padding waste for ~half the compiles
+        bucket_growth=4.0 if long else 2.2,
         FeatureExtraction={"name": "None"},
         # --big (round-3 scaling arm): flagship-scale encoder (256x6, the
         # test.yaml regime) + a deeper TFM head — the capacity-scaling
@@ -149,6 +152,9 @@ def main() -> None:
                     "--big): 448x960 canvases, batch_max_length 500, "
                     "50/50 multi-line long + flat hard samples — the "
                     "reference eval contract's missing axis")
+    ap.add_argument("--lr", type=float, default=None,
+                    help="override the arm's base lr (fine-tunes from "
+                    "released weights want ~1e-4, not the from-scratch lr)")
     ap.add_argument("--init_from", default=None,
                     help="warm-start params from a released weights file "
                     "(load_pretrained_variables; optimizer starts fresh) — "
@@ -188,6 +194,9 @@ def main() -> None:
 
     cfg = build(args.steps, hard=args.hard, attn=args.attn, gcb=args.gcb,
                 family=args.family, big=args.big, long=args.long)
+    if args.lr is not None:
+        cfg["optimizer"]["lr"] = args.lr
+        cfg["min_lr"] = min(cfg.get("min_lr", args.lr), args.lr / 5)
     if args.long:
         from doc2tex_tpu.data.synthetic import (
             hard_vocab, synth_hard_dataset, synth_long_dataset,
@@ -214,8 +223,9 @@ def main() -> None:
     else:
         kw = {"min_len": 4, "max_len": 44, "max_h": 156, "max_w": 440}
         gen, vocab = synth_structured_dataset, SYNTH_VOCAB
-    tr_images, tr_labels = gen(args.n_train, seed=31, **kw)
-    ev_images, ev_labels = gen(args.n_eval, seed=32, **kw)
+    if not args.long:
+        tr_images, tr_labels = gen(args.n_train, seed=31, **kw)
+        ev_images, ev_labels = gen(args.n_eval, seed=32, **kw)
     if args.family == "tfm":
         from doc2tex_tpu.tokenizer.converters import TFMLabelConverter
 
