@@ -40,13 +40,27 @@ def make_resizer_hook(config):
     model = LearnedResizer(num_buckets=config.get("resizer_buckets", 21))
     probe = jnp.zeros((1, 64, 64, 1), jnp.float32)
     variables = model.init(jax.random.PRNGKey(0), probe)
+    if not config.get("resizer_weights"):
+        # round 4: trained width-predictor weights ship in-repo
+        # (tools/train_resizer.py); use them when present
+        shipped = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "saved_models", "resizer", "best_weights.msgpack",
+        )
+        if os.path.exists(shipped):
+            config["resizer_weights"] = shipped
     if config.get("resizer_weights"):
-        from doc2tex_tpu.train.checkpoint import load_pretrained_params
+        # params AND BN running stats — the width head is a BatchNorm
+        # ResNet; fresh stats would mis-normalize every trained feature
+        from doc2tex_tpu.train.checkpoint import load_pretrained_variables
 
-        params, _ = load_pretrained_params(
-            config["resizer_weights"], variables["params"]
+        params, stats, _ = load_pretrained_variables(
+            config["resizer_weights"], variables["params"],
+            variables.get("batch_stats"),
         )
         variables = {**variables, "params": params}
+        if stats is not None:
+            variables["batch_stats"] = stats
     apply_fn = jax.jit(lambda x: jnp.argmax(model.apply(variables, x), -1))
 
     def predict(img):

@@ -421,3 +421,26 @@ class TestInspectImages:
             "f0.png", "f2.png"
         ]
         assert renders.exists()  # not deleted without rm_input
+
+
+class TestSoakArms:
+    def test_long_arm_config(self):
+        # round-4 long arm = the reference eval contract's regime
+        # (config/test.yaml:5: 448x960, batch_max_length 500)
+        import sys as _sys, os as _os
+        _sys.path.insert(0, _os.path.join(
+            _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+            "tools"))
+        from structured_soak import build
+
+        cfg = build(18000, hard=True, family="tfm", big=True, long=True)
+        assert cfg["max_dimension"] == [448, 960]
+        assert cfg["batch_max_length"] == 500
+        assert cfg["batch_size"] == 16
+        assert cfg["bucket_growth"] == 4.0
+        assert cfg["Prediction"]["name"] == "TFM"
+        # and the non-long big arm is unchanged by the overlay
+        cfg2 = build(100000, hard=True, family="tfm", big=True)
+        assert cfg2["max_dimension"] == [224, 704]
+        assert cfg2["batch_max_length"] == 150
+        assert cfg2["bucket_growth"] == 2.2

@@ -13,8 +13,12 @@ on the hard synthetic benchmark (KaTeX-inventory vocab, render noise,
 multi-font glyphs) so the demo pipeline runs a REAL recognizer out of
 the box.
 
+Export from the soak's BEST-EM checkpoint (kept separately since d894f66
+because held-out EM oscillates a few points late in training), not the
+last one:
+
 Run: python tools/export_demo_weights.py \
-       --ckpt /tmp/hard_soak/last.msgpack \
+       --ckpt /tmp/hard_soak/best.msgpack \
        --out saved_models/math_recog/synthetic/best_weights.msgpack
 """
 
@@ -75,7 +79,7 @@ def export(ckpt: str, out: str, dtype: str = "float16") -> dict:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--ckpt", default="/tmp/hard_soak/last.msgpack")
+    ap.add_argument("--ckpt", default="/tmp/hard_soak/best.msgpack")
     ap.add_argument(
         "--out",
         default="saved_models/math_recog/synthetic/best_weights.msgpack",
