@@ -38,18 +38,32 @@ PAGE_H, PAGE_W = 1024, 1280
 EVAL_SEED = 35  # distinct from train 31 / curves 32 / release 33 / coalesce 34
 
 
-def synth_labelled_page(rng, n_regions=6):
-    """One page of pasted hard-benchmark renders.
-    Returns (page u8 (H, W), [(x1, y1, x2, y2), ...], [label, ...])."""
-    from doc2tex_tpu.data.synthetic import synth_hard_sample
+def synth_labelled_page(rng, n_regions=6, style="hard"):
+    """One page of pasted formula renders.
+    Returns (page u8 (H, W), [(x1, y1, x2, y2), ...], [label, ...]).
+
+    ``style='hard'`` pastes hard-benchmark renders (what the released
+    RECOGNIZERS were trained on); ``'structured'`` pastes the flat
+    structured-grammar renders (what the released DETECTOR was trained
+    on) — comparing the two runs separates detector domain mismatch from
+    pipeline faults."""
+    from doc2tex_tpu.data.synthetic import (
+        synth_hard_sample,
+        synth_structured_sample,
+    )
 
     page = np.full((PAGE_H, PAGE_W), 255, np.uint8)
     boxes, labels = [], []
     for _ in range(n_regions):
-        img, label = synth_hard_sample(
-            rng, min_len=8, max_len=40, max_h=160, max_w=520,
-            scale_range=(3, 5),
-        )
+        if style == "hard":
+            img, label = synth_hard_sample(
+                rng, min_len=8, max_len=40, max_h=160, max_w=520,
+                scale_range=(3, 5),
+            )
+        else:
+            img, label = synth_structured_sample(
+                rng, min_len=4, max_len=30, max_h=160, max_w=520,
+            )
         h, w = img.shape
         for _try in range(20):
             y = int(rng.integers(0, PAGE_H - h))
@@ -81,6 +95,9 @@ def main() -> None:
     ap.add_argument("--int8_detect", action="store_true",
                     help="int8 SSD trunk (accuracy gate for the detect "
                     "quant knob)")
+    ap.add_argument("--regions", default="hard",
+                    choices=["hard", "structured"],
+                    help="region render style (see synth_labelled_page)")
     ap.add_argument("--iou", type=float, default=0.5)
     args = ap.parse_args()
 
@@ -99,7 +116,7 @@ def main() -> None:
         load_recog_config,
         postprocess_prediction,
     )
-    from doc2tex_tpu.utils.metrics import get_single_ED
+    from doc2tex_tpu.eval.metrics import get_single_ED
 
     cfg, weights = load_recog_config(version=args.version)
     recog = MathRecognition(cfg, weights_path=weights, beam_size=args.beam,
@@ -110,7 +127,10 @@ def main() -> None:
     )
 
     rng = np.random.default_rng(EVAL_SEED)
-    pages = [synth_labelled_page(rng) for _ in range(args.pages)]
+    pages = [
+        synth_labelled_page(rng, style=args.regions)
+        for _ in range(args.pages)
+    ]
     n_gt = sum(len(b) for _, b, _ in pages)
     print(f"page_eval: {args.pages} pages / {n_gt} GT regions, "
           f"version={args.version} beam={recog.beam_size} "
@@ -180,8 +200,11 @@ def main() -> None:
     if os.path.exists(path):
         with open(path) as f:
             merged = json.load(f)
+    out["regions"] = args.regions
     key = args.version + ("_stitch" if args.stitch else "") + (
-        f"_co{args.coalesce_ratio:g}" if args.coalesce_ratio else "")
+        f"_co{args.coalesce_ratio:g}" if args.coalesce_ratio else "") + (
+        f"_{args.regions}" if args.regions != "hard" else "") + (
+        "_int8det" if args.int8_detect else "")
     merged[key] = out
     with open(path, "w") as f:
         json.dump(merged, f, indent=1, sort_keys=True)
