@@ -19,19 +19,63 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def synth_page(rng, size=512, max_regions=4):
-    """One (image u8 (S,S), boxes (K,4) normalized corner) page."""
+def synth_page(rng, size=512, max_regions=4, style="bars"):
+    """One (image u8 (S,S), boxes (K,4) normalized corner) page.
+
+    ``style='bars'``: the round-2 "formula-ish ink" noise bars.
+    ``style='mixed'``: REAL formula renders — hard-benchmark (multi-font,
+    render noise; what the released recognizers consume) mixed 50/50 with
+    structured-grammar renders.  Round-4 page_eval showed the bars-trained
+    detector collapses on real renders (det-F1 0.108 on hard regions vs
+    0.485 structured vs 0.79 on its own bars distribution) — train-time
+    regions must match the demo distribution."""
     img = np.full((size, size), 255, np.uint8)
     boxes = []
     k = int(rng.integers(1, max_regions + 1))
     for _ in range(k):
-        h = int(rng.integers(20, 60))
-        w = int(rng.integers(80, 300))
-        y = int(rng.integers(0, size - h))
-        x = int(rng.integers(0, size - w))
-        # formula-ish ink: dense bar with random gaps
-        patch = (rng.random((h, w)) < 0.6).astype(np.uint8)
-        img[y : y + h, x : x + w][patch > 0] = int(rng.integers(0, 60))
+        if style == "mixed":
+            from doc2tex_tpu.data.synthetic import (
+                synth_hard_sample,
+                synth_structured_sample,
+            )
+
+            if rng.random() < 0.5:
+                patch_img, _ = synth_hard_sample(
+                    rng, min_len=4, max_len=22, max_h=120, max_w=400,
+                    scale_range=(3, 5),
+                )
+            else:
+                patch_img, _ = synth_structured_sample(
+                    rng, min_len=3, max_len=20, max_h=120, max_w=400,
+                )
+            h, w = patch_img.shape
+            if h > size - 8 or w > size - 8:
+                continue
+            placed = False
+            for _try in range(10):
+                y = int(rng.integers(0, size - h))
+                x = int(rng.integers(0, size - w))
+                box = (x, y, x + w, y + h)
+                if all(
+                    box[2] + 8 <= b[0] or box[0] >= b[2] + 8
+                    or box[3] + 8 <= b[1] or box[1] >= b[3] + 8
+                    for b in (tuple(int(v * size) for v in bb) for bb in boxes)
+                ):
+                    placed = True
+                    break
+            if not placed:
+                continue
+            img[y : y + h, x : x + w] = np.minimum(
+                img[y : y + h, x : x + w], patch_img
+            )
+        else:
+            h = int(rng.integers(20, 60))
+            w = int(rng.integers(80, 300))
+            y = int(rng.integers(0, size - h))
+            x = int(rng.integers(0, size - w))
+            # formula-ish ink: dense bar with random gaps
+            patch = (rng.random((h, w)) < 0.6).astype(np.uint8)
+            img[y : y + h, x : x + w][patch > 0] = int(rng.integers(0, 60))
         boxes.append([x / size, y / size, (x + w) / size, (y + h) / size])
     return img, np.asarray(boxes, np.float32)
 
@@ -44,6 +88,12 @@ def main() -> None:
     ap.add_argument("--save", default="/tmp/det_soak/last.msgpack",
                     help="checkpoint path for the trained SSD params "
                     "(exportable via tools/export_demo_weights.py)")
+    ap.add_argument("--style", default="bars", choices=["bars", "mixed"],
+                    help="page region distribution (mixed = real formula "
+                    "renders, the round-4 page_eval fix)")
+    ap.add_argument("--init_from", default=None,
+                    help="warm-start SSD params from a released weights "
+                    "file (fine-tune instead of from-scratch)")
     args = ap.parse_args()
 
     import jax
@@ -71,6 +121,11 @@ def main() -> None:
     priors = jnp.asarray(make_priors())
     tx = optax.adam(1e-4)
     params = variables["params"]
+    if args.init_from:
+        from doc2tex_tpu.train.checkpoint import load_pretrained_params
+
+        params, info = load_pretrained_params(args.init_from, params)
+        print(f"warm-started from {args.init_from}: {info}", flush=True)
     opt_state = jax.jit(tx.init)(params)
     step = make_detection_train_step(model, priors, tx)
     print(f"init {time.time()-t0:.0f}s; params "
@@ -86,7 +141,7 @@ def main() -> None:
     gts = np.zeros((N_POOL, MAXB, 4), np.float32)
     valid = np.zeros((N_POOL, MAXB), bool)
     for i in range(N_POOL):
-        img, boxes = synth_page(rng)
+        img, boxes = synth_page(rng, style=args.style)
         imgs[i] = np.repeat(img[..., None], 3, -1).astype(np.float32) - mean_px
         k = min(len(boxes), MAXB)
         gts[i, :k] = boxes[:k]
@@ -136,7 +191,7 @@ def main() -> None:
     preds, truths = [], []
     eval_rng = np.random.default_rng(99)
     for _ in range(args.n_eval):
-        img, boxes = synth_page(eval_rng)
+        img, boxes = synth_page(eval_rng, style=args.style)
         x = jnp.asarray(
             (np.repeat(img[..., None], 3, -1).astype(np.float32) - mean_px)[None]
         )

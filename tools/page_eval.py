@@ -98,6 +98,9 @@ def main() -> None:
     ap.add_argument("--regions", default="hard",
                     choices=["hard", "structured"],
                     help="region render style (see synth_labelled_page)")
+    ap.add_argument("--detect_weights", default=None,
+                    help="override the shipped detector weights (A/B for "
+                    "a retrained detector)")
     ap.add_argument("--iou", type=float, default=0.5)
     args = ap.parse_args()
 
@@ -124,6 +127,7 @@ def main() -> None:
     app = demo_app.App(
         use_detect=True, stitch=args.stitch, recognizer=recog,
         detect_quantize="int8" if args.int8_detect else None,
+        detect_weights=args.detect_weights,
     )
 
     rng = np.random.default_rng(EVAL_SEED)
