@@ -208,7 +208,8 @@ def main() -> None:
     key = args.version + ("_stitch" if args.stitch else "") + (
         f"_co{args.coalesce_ratio:g}" if args.coalesce_ratio else "") + (
         f"_{args.regions}" if args.regions != "hard" else "") + (
-        "_int8det" if args.int8_detect else "")
+        "_int8det" if args.int8_detect else "") + (
+        "_customdet" if args.detect_weights else "")
     merged[key] = out
     with open(path, "w") as f:
         json.dump(merged, f, indent=1, sort_keys=True)
