@@ -138,3 +138,27 @@ class TestStepTimer:
                 pass
         s = t.summary()["('a',)"]
         assert s["steps"] == 2 and "compile_s" in s
+
+
+class TestSoakPageStyles:
+    def test_mixed_style_pages_carry_real_renders(self):
+        # round-4 detector fix: --style mixed pastes real formula renders
+        import sys as _sys, os as _os
+        _sys.path.insert(0, _os.path.join(
+            _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+            "tools"))
+        import numpy as np
+        from detection_soak import synth_page
+
+        rng = np.random.default_rng(3)
+        for style in ("bars", "mixed"):
+            img, boxes = synth_page(rng, style=style)
+            assert img.shape == (512, 512)
+            assert img.dtype == np.uint8
+            boxes = np.asarray(boxes).reshape(-1, 4)
+            for x1, y1, x2, y2 in boxes:
+                assert 0.0 <= x1 < x2 <= 1.0 and 0.0 <= y1 < y2 <= 1.0
+                # the labelled region really contains ink
+                px = img[int(y1 * 512):int(y2 * 512),
+                         int(x1 * 512):int(x2 * 512)]
+                assert (px < 200).any()
