@@ -40,7 +40,10 @@ def make_resizer_hook(config):
     model = LearnedResizer(num_buckets=config.get("resizer_buckets", 21))
     probe = jnp.zeros((1, 64, 64, 1), jnp.float32)
     variables = model.init(jax.random.PRNGKey(0), probe)
-    if not config.get("resizer_weights"):
+    # resolve locally — mutating the caller's config dict would leak an
+    # auto-discovered path into shared/reused configs (ADVICE r4)
+    resizer_weights = config.get("resizer_weights")
+    if not resizer_weights:
         # round 4: trained width-predictor weights ship in-repo
         # (tools/train_resizer.py); use them when present
         shipped = os.path.join(
@@ -48,14 +51,14 @@ def make_resizer_hook(config):
             "saved_models", "resizer", "best_weights.msgpack",
         )
         if os.path.exists(shipped):
-            config["resizer_weights"] = shipped
-    if config.get("resizer_weights"):
+            resizer_weights = shipped
+    if resizer_weights:
         # params AND BN running stats — the width head is a BatchNorm
         # ResNet; fresh stats would mis-normalize every trained feature
         from doc2tex_tpu.train.checkpoint import load_pretrained_variables
 
         params, stats, _ = load_pretrained_variables(
-            config["resizer_weights"], variables["params"],
+            resizer_weights, variables["params"],
             variables.get("batch_stats"),
         )
         variables = {**variables, "params": params}
@@ -84,7 +87,9 @@ def load_csv_dataset(csv_dir: str, data_dir: str, config, resize_hook=None):
 
     images, labels, names = [], [], []
     with open(csv_dir, newline="") as f:
-        reader = csv.reader(f, delimiter="\t")
+        # QUOTE_NONE: LaTeX labels legitimately contain `"` — default csv
+        # quoting silently merges such rows with their neighbours
+        reader = csv.reader(f, delimiter="\t", quoting=csv.QUOTE_NONE)
         rows = [r for r in reader if len(r) >= 2]
     if rows and rows[0][0].lower() in ("id", "image", "name"):
         rows = rows[1:]

@@ -45,9 +45,12 @@ def main() -> None:
         BATCH, N_ITERS, BENCH_MAX_LEN = 8, 2, 24
     if "--batch" in sys.argv:  # batch-size override for sweep experiments
         i = sys.argv.index("--batch") + 1
-        if i >= len(sys.argv) or not sys.argv[i].lstrip("-").isdigit():
-            sys.exit("usage: bench.py --batch N (integer)")
-        BATCH = int(sys.argv[i])
+        try:
+            BATCH = int(sys.argv[i]) if i < len(sys.argv) else 0
+        except ValueError:
+            BATCH = 0
+        if BATCH < 1:
+            sys.exit("usage: bench.py --batch N (positive integer)")
     trace_dir = None
     if "--trace" in sys.argv:  # jax profiler trace of the timed region
         trace_dir = "/tmp/doc2tex_trace"

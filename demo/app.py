@@ -47,6 +47,8 @@ class App:
         detect_weights=None,
         use_detect: bool = True,
         conf_thresh: float = 0.5,
+        nms_iou: float = 0.1,
+        expand_frac: float = 0.05,
         stitch: bool = False,
         stitch_votes: float = 8,
         recognizer=None,
@@ -67,16 +69,17 @@ class App:
                     "saved_models", "math_detect", "best_weights.msgpack",
                 )
                 detect_weights = shipped if os.path.exists(shipped) else None
+            det_kw = dict(
+                conf_thresh=conf_thresh, iou_thresh=nms_iou,
+                expand_frac=expand_frac, mesh=detect_mesh,
+                quantize=detect_quantize,
+            )
             if isinstance(detect_weights, str):
-                self.detector = MathDetector(
-                    weights_path=detect_weights, conf_thresh=conf_thresh,
-                    mesh=detect_mesh, quantize=detect_quantize,
-                )
+                self.detector = MathDetector(weights_path=detect_weights,
+                                             **det_kw)
             else:
-                self.detector = MathDetector(
-                    variables=detect_weights, conf_thresh=conf_thresh,
-                    mesh=detect_mesh, quantize=detect_quantize,
-                )
+                self.detector = MathDetector(variables=detect_weights,
+                                             **det_kw)
         else:
             self.detector = None
         # recognizer: share an existing MathRecognition (e.g. the one a

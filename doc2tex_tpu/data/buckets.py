@@ -146,13 +146,25 @@ def plan_buckets(
     sizes: Sequence[tuple[int, int]],
     config,
     table: BucketTable | None = None,
+    overpad_rng: np.random.Generator | None = None,
 ) -> tuple[BucketTable, dict[tuple[int, int], list[int]], list[int]]:
     """Assign each sample (by target size) to a bucket.
 
     Returns (table, {bucket_shape: [sample_idx, ...]}, excluded_idxs).
     Replicates the include/exclude semantics of
     ``torch_dataset.py:46-66`` (samples outside [min,max] are dropped).
+
+    Over-padding augmentation (round 5, pad-invariance): when
+    ``overpad_rng`` is given and ``config['overpad_prob'] > 0``, each
+    sample is, with that probability, PROMOTED to a random larger ladder
+    bucket whose area is <= ``config['overpad_ratio']`` x its native
+    bucket's (top-left anchored white pad, exactly what serving's bucket
+    coalescing does to a crop).  The round-4 coalesce EM gate failed
+    because the flat pos-embed never saw a crop at pad positions beyond
+    its native bucket; this teaches it.
     """
+    overpad_prob = float(config.get("overpad_prob", 0.0) or 0.0)
+    overpad_ratio = float(config.get("overpad_ratio", 4.0) or 4.0)
     if table is None:
         if config.get("bucket_mode", "ladder") == "ladder":
             table = make_ladder(
@@ -173,6 +185,16 @@ def plan_buckets(
         if bucket is None:
             excluded.append(i)
             continue
+        if (overpad_rng is not None and overpad_prob > 0.0
+                and overpad_rng.random() < overpad_prob):
+            area = bucket[0] * bucket[1]
+            bigger = [
+                b for b in table.shapes
+                if b != bucket and b[0] >= bucket[0] and b[1] >= bucket[1]
+                and b[0] * b[1] <= overpad_ratio * area
+            ]
+            if bigger:
+                bucket = bigger[int(overpad_rng.integers(len(bigger)))]
         clusters.setdefault(bucket, []).append(i)
     return table, clusters, excluded
 

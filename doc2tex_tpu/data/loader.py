@@ -148,7 +148,12 @@ class BucketLoader:
         self.indices = kept
 
         sizes = [dataset.size(i) for i in kept]
-        self.table, clusters, excluded = plan_buckets(sizes, config, table)
+        # over-padding augmentation applies to TRAIN splits only (the
+        # eval contract stays native-bucket; see plan_buckets docstring)
+        self.table, clusters, excluded = plan_buckets(
+            sizes, config, table,
+            overpad_rng=np.random.default_rng(seed + 17) if train else None,
+        )
         # cluster keys are positions into `kept`; map back to dataset idx
         self.clusters = {
             b: [kept[j] for j in js] for b, js in clusters.items()

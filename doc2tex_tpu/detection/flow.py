@@ -47,6 +47,7 @@ class MathDetector:
         device_windows: bool = True,
         mesh=None,
         quantize: Optional[str] = None,
+        expand_frac: float = 0.05,
     ):
         """``mesh`` (a ``jax.sharding.Mesh``): shard the window batch over
         the mesh's ``data`` axis — multi-chip detection.  The window
@@ -54,10 +55,20 @@ class MathDetector:
         detect nothing above ``conf_thresh``; their rows are sliced off),
         so results are identical to single-device detection
         (``tests/test_parallel.py``)."""
-        self.model = SSD512(num_classes=2)
+        # quantize="bf16": run the SSD trunk in bfloat16 compute (params
+        # stay f32; L2Norm accumulates f32).  The round-4 int8 arm LOST
+        # 1.21x at SSD shapes (BASELINE.md detection section); bf16 is
+        # the round-5 middle ground, A/B-gated on tools/page_eval.py.
+        self.model = SSD512(
+            num_classes=2,
+            dtype=jnp.bfloat16 if quantize == "bf16" else jnp.float32,
+        )
         self.priors = jnp.asarray(make_priors(MATH_GTDB_512))
         self.conf_thresh = conf_thresh
         self.iou_thresh = iou_thresh
+        # box expansion before cropping (reference demo/app.py:103-116
+        # expands 5%; sweepable — page_eval showed framing bounds EM)
+        self.expand_frac = expand_frac
         self.window = window
         self.stride = stride
         self.mesh = mesh
@@ -142,6 +153,8 @@ class MathDetector:
             x = jnp.repeat(x, 3, axis=-1)
         x = x - jnp.asarray(MATH_GTDB_512["mean_pixel"], jnp.float32)
         loc, conf = self.model.apply(variables, x)
+        # decode/NMS numerics stay f32 whatever the trunk compute dtype
+        loc, conf = loc.astype(jnp.float32), conf.astype(jnp.float32)
         return batched_detect(
             loc, conf, priors,
             conf_thresh=self.conf_thresh, iou_thresh=self.iou_thresh,
@@ -279,7 +292,7 @@ class MathDetector:
         kb, ks = np.asarray(kb), np.asarray(ks)
         keep = ks > 0
         boxes = kb[keep] * np.array([W, H, W, H], np.float32)
-        boxes = expand_boxes(boxes, (H, W))
+        boxes = expand_boxes(boxes, (H, W), frac=self.expand_frac)
         return boxes, ks[keep]
 
     def crop_regions(self, page: np.ndarray, boxes: np.ndarray) -> list[np.ndarray]:

@@ -72,13 +72,17 @@ def coalesce_groups(
     merged: dict = {}
     for b in order:
         area = b[0] * b[1]
-        for t in merged:
-            if (
-                t[0] >= b[0] and t[1] >= b[1]
-                and t[0] * t[1] <= ratio * area
-            ):
-                merged[t].extend(groups[b])
-                break
+        # among kept targets that contain b and pass the ratio guard,
+        # merge into the TIGHTEST (smallest-area) one — the largest
+        # qualifying bucket maximizes white padding, the known
+        # EM-costing off-distribution case (ADVICE r4)
+        cands = [
+            t for t in merged
+            if t[0] >= b[0] and t[1] >= b[1] and t[0] * t[1] <= ratio * area
+        ]
+        if cands:
+            t = min(cands, key=lambda t: (t[0] * t[1], t))
+            merged[t].extend(groups[b])
         else:
             merged[b] = list(groups[b])
     return merged

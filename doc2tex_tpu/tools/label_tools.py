@@ -9,7 +9,6 @@ Parity targets (reference ``doc2tex/tools/build_data/construct_label/``):
 
 from __future__ import annotations
 
-import csv
 import os
 import re
 from typing import Iterable, Sequence
@@ -72,6 +71,8 @@ def write_manifest(rows: Sequence[tuple[str, str]], path: str) -> None:
     """id<TAB>label TSV (the LABEL_KEY schema, reference data_const.py)."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     with open(path, "w", newline="") as f:
-        w = csv.writer(f, delimiter="\t")
+        # plain TAB join, no csv quoting/escaping: LaTeX labels hold `"`
+        # and `\` literally and never hold tabs/newlines; this round-trips
+        # exactly with the QUOTE_NONE readers (lmdb_builder/infer)
         for name, label in rows:
-            w.writerow([name, label])
+            f.write(f"{name}\t{label}\n")

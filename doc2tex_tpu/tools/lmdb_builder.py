@@ -24,7 +24,9 @@ def iter_manifest(csv_path: str, image_dir: str) -> Iterator[tuple[np.ndarray, s
     from PIL import Image
 
     with open(csv_path, newline="") as f:
-        reader = csv.reader(f, delimiter="\t")
+        # QUOTE_NONE: LaTeX labels legitimately contain `"` — default csv
+        # quoting silently merges such rows with their neighbours
+        reader = csv.reader(f, delimiter="\t", quoting=csv.QUOTE_NONE)
         rows = [r for r in reader if len(r) >= 2]
     if rows and rows[0][0].lower() in ("id", "image", "name"):
         rows = rows[1:]

@@ -215,6 +215,101 @@ XELATEX_DOC_TEMPLATE = r"""\documentclass[preview]{standalone}
 """
 
 
+# 10 formulas spanning the constructs the data chain cares about
+# (fractions, radicals, matrices, accents, large operators, greek) —
+# the self-test set for `python -m doc2tex_tpu.tools.render --selftest`
+SELFTEST_FORMULAS = [
+    r"x^2 + y^2 = z^2",
+    r"\frac{a+b}{c-d}",
+    r"\sqrt{1+\sqrt{1+x}}",
+    r"\sum_{i=1}^{n} i = \frac{n(n+1)}{2}",
+    r"\int_0^\infty e^{-x^2}\,dx = \frac{\sqrt{\pi}}{2}",
+    r"\begin{pmatrix} a & b \\ c & d \end{pmatrix}",
+    r"\alpha + \beta \leq \gamma \cdot \delta",
+    r"\lim_{x \to 0} \frac{\sin x}{x} = 1",
+    r"\hat{f}(\xi) = \int_{-\infty}^{\infty} f(x) e^{-2\pi i x \xi} dx",
+    r"\binom{n}{k} = \frac{n!}{k!(n-k)!}",
+]
+
+
+def selftest(out_dir: str = "/tmp/render_selftest",
+             goldens_path: Optional[str] = None,
+             write_goldens: bool = False) -> int:
+    """Render SELFTEST_FORMULAS and check the trim/pad chain end-to-end
+    (VERDICT r4 #8: make the real-binary path one command the moment TeX
+    exists).  Goldens are STRUCTURAL (trimmed shape band + ink fraction),
+    not pixel-exact — TeX/ImageMagick versions vary rasterization, but a
+    correctly trimmed+padded render of the same formula lands in a narrow
+    shape/ink band.  Returns a process exit code.
+    """
+    import json
+
+    if goldens_path is None:
+        goldens_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                    "render_goldens.json")
+    if not HAS_TEX:
+        print("BLOCKED: pdflatex=%s convert=%s — install TeX Live "
+              "(pdflatex + preview.sty + amsmath) and ImageMagick, then "
+              "re-run: python -m doc2tex_tpu.tools.render --selftest"
+              % (PDFLATEX, CONVERT))
+        return 2
+    got = render_dataset(SELFTEST_FORMULAS, out_dir, batch_size=10, dpi=200)
+    n_ok = len(got)
+    print(f"rendered {n_ok}/{len(SELFTEST_FORMULAS)} -> {out_dir}")
+    if n_ok < len(SELFTEST_FORMULAS):
+        missing = sorted(set(range(len(SELFTEST_FORMULAS))) - set(got))
+        print(f"FAIL: formulas {missing} did not render")
+        return 1
+    from PIL import Image
+
+    stats = {}
+    failures = []
+    for idx, path in sorted(got.items()):
+        img = np.asarray(Image.open(path).convert("L"), np.uint8)
+        h, w = img.shape
+        ink = float((img < 128).mean())
+        stats[str(idx)] = {"h": h, "w": w, "ink": round(ink, 4)}
+        # pad contract: an 8px all-white border, ink tight against it
+        border = np.concatenate([img[:8].ravel(), img[-8:].ravel(),
+                                 img[:, :8].ravel(), img[:, -8:].ravel()])
+        inner = img[8:-8, 8:-8]
+        checks = [
+            bool((border == 255).all()),
+            # trim contract: ink touches every edge of the inner region
+            bool((inner[0] < 255).any() and (inner[-1] < 255).any()
+                 and (inner[:, 0] < 255).any() and (inner[:, -1] < 255).any()),
+            0.005 < ink < 0.6,
+            20 <= h <= 2000 and 20 <= w <= 4096,
+        ]
+        if not all(checks):
+            failures.append((idx, checks, stats[str(idx)]))
+    for idx, checks, s in failures:
+        print(f"FAIL formula {idx}: checks={checks} stats={s}")
+    if failures:
+        return 1
+    if write_goldens or not os.path.exists(goldens_path):
+        with open(goldens_path, "w") as f:
+            json.dump(stats, f, indent=1, sort_keys=True)
+        print(f"goldens written: {goldens_path}")
+        return 0
+    with open(goldens_path) as f:
+        gold = json.load(f)
+    drift = []
+    for idx, s in stats.items():
+        g = gold.get(idx)
+        if g is None:
+            continue
+        # band: ±25% on trimmed dims, ±40% relative on ink fraction
+        if not (0.75 * g["h"] <= s["h"] <= 1.25 * g["h"]
+                and 0.75 * g["w"] <= s["w"] <= 1.25 * g["w"]
+                and 0.6 * g["ink"] <= s["ink"] <= 1.4 * g["ink"]):
+            drift.append((idx, g, s))
+    for idx, g, s in drift:
+        print(f"DRIFT formula {idx}: golden={g} got={s}")
+    print("selftest " + ("FAIL (golden drift)" if drift else "PASS"))
+    return 1 if drift else 0
+
+
 def render_formulas_xelatex(
     formulas: Sequence[str],
     out_dir: str,
@@ -238,3 +333,19 @@ def render_formulas_xelatex(
         return render_formulas(formulas, out_dir, engine="xelatex", **kwargs)
     finally:
         DOC_TEMPLATE = saved
+
+
+if __name__ == "__main__":
+    import argparse
+    import sys
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--selftest", action="store_true",
+                    help="render 10 formulas and check the trim/pad chain "
+                    "against structural goldens (render_goldens.json)")
+    ap.add_argument("--out", default="/tmp/render_selftest")
+    ap.add_argument("--write_goldens", action="store_true")
+    args = ap.parse_args()
+    if args.selftest:
+        sys.exit(selftest(args.out, write_goldens=args.write_goldens))
+    ap.print_help()

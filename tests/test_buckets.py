@@ -178,3 +178,47 @@ class TestStructuredGrammar:
         _, labels = synth_structured_dataset(300, seed=23, max_len=40)
         for lb in labels:
             assert lb.count("\\left(") == lb.count("\\right)"), lb
+
+
+class TestOverpadAugment:
+    """Round-5 pad-invariance: plan_buckets promotes train samples to
+    larger ladder buckets (the serving-coalesce distribution)."""
+
+    def _cfg(self, **kw):
+        c = {"min_dimension": [32, 32], "max_dimension": [128, 512],
+             "scale_factor": 32, "bucket_growth": 1.5}
+        c.update(kw)
+        return c
+
+    def test_overpad_promotes_within_ratio(self):
+        import numpy as np
+
+        sizes = [(40, 90)] * 200
+        c = self._cfg(overpad_prob=0.5, overpad_ratio=4.0)
+        table, clusters, _ = plan_buckets(
+            sizes, c, overpad_rng=np.random.default_rng(3))
+        native = table.lookup(40, 90)
+        assert native in clusters  # most stay native
+        promoted = {b: len(v) for b, v in clusters.items() if b != native}
+        assert promoted, "no samples were promoted"
+        na = native[0] * native[1]
+        for b, n in promoted.items():
+            # containing bucket, within the area-ratio guard
+            assert b[0] >= native[0] and b[1] >= native[1]
+            assert b[0] * b[1] <= 4.0 * na
+        frac = sum(promoted.values()) / len(sizes)
+        assert 0.3 < frac < 0.7  # ~overpad_prob
+
+    def test_overpad_off_without_rng(self):
+        sizes = [(40, 90)] * 50
+        c = self._cfg(overpad_prob=0.5)
+        table, clusters, _ = plan_buckets(sizes, c, overpad_rng=None)
+        assert list(clusters) == [table.lookup(40, 90)]
+
+    def test_overpad_zero_prob_identity(self):
+        import numpy as np
+
+        sizes = [(40, 90)] * 50
+        table, clusters, _ = plan_buckets(
+            sizes, self._cfg(), overpad_rng=np.random.default_rng(0))
+        assert list(clusters) == [table.lookup(40, 90)]

@@ -156,3 +156,59 @@ class TestPostprocess:
         p = str(tmp_path / "blank.png")
         Image.fromarray(np.full((30, 30), 255, np.uint8)).save(p)
         assert render.postprocess_render(p) is None
+
+
+@pytest.fixture
+def fake_tex_clean(tmp_path, monkeypatch):
+    """Fakes that render ALL selftest formulas cleanly (no error lines)."""
+    n = len(render.SELFTEST_FORMULAS)
+    pdflatex = _write_script(
+        str(tmp_path / "pdflatex"),
+        """
+import sys, os
+out = sys.argv[sys.argv.index('-output-directory') + 1]
+open(os.path.join(out, 'batch.pdf'), 'wb').write(b'%PDF-fake')
+""",
+    )
+    convert = _write_script(
+        str(tmp_path / "convert"),
+        f"""
+import sys, os
+import numpy as np
+from PIL import Image
+out = sys.argv[-1]
+tmp = os.path.dirname(out)
+img = np.full((20, 30), 255, np.uint8); img[5:15, 5:25] = 0
+for i in range({n}):
+    Image.fromarray(img).save(os.path.join(tmp, 'page-%d.png' % i))
+""",
+    )
+    monkeypatch.setattr(render, "PDFLATEX", pdflatex)
+    monkeypatch.setattr(render, "CONVERT", convert)
+    monkeypatch.setattr(render, "HAS_TEX", True)
+
+
+class TestSelftest:
+    def test_blocked_without_tex(self, monkeypatch, tmp_path):
+        monkeypatch.setattr(render, "HAS_TEX", False)
+        assert render.selftest(str(tmp_path / "o")) == 2
+
+    def test_writes_goldens_then_passes(self, fake_tex_clean, tmp_path):
+        goldens = str(tmp_path / "goldens.json")
+        # first run writes structural goldens
+        assert render.selftest(str(tmp_path / "o"), goldens_path=goldens) == 0
+        assert os.path.exists(goldens)
+        # second run compares against them and passes (same fakes)
+        assert render.selftest(str(tmp_path / "o2"), goldens_path=goldens) == 0
+
+    def test_golden_drift_fails(self, fake_tex_clean, tmp_path):
+        import json
+
+        goldens = str(tmp_path / "goldens.json")
+        assert render.selftest(str(tmp_path / "o"), goldens_path=goldens) == 0
+        with open(goldens) as f:
+            gold = json.load(f)
+        gold["0"]["h"] = gold["0"]["h"] * 3  # out of the ±25% band
+        with open(goldens, "w") as f:
+            json.dump(gold, f)
+        assert render.selftest(str(tmp_path / "o2"), goldens_path=goldens) == 1

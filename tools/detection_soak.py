@@ -80,6 +80,49 @@ def synth_page(rng, size=512, max_regions=4, style="bars"):
     return img, np.asarray(boxes, np.float32)
 
 
+def window_sample(rng, style="hard"):
+    """One 512x512 TRAINING WINDOW sampled from a big labelled page — the
+    INFERENCE distribution (round-5 precision fix).
+
+    ``--style mixed`` trains on whole 512 pages where every formula is
+    fully visible; at inference the detector rolls 512 windows (stride
+    128) over a 1280-wide page, so windows see formulas CLIPPED at their
+    edges — a distribution the mixed soak never shows.  Round-4 page_eval
+    read det-P 0.51 at recall 0.861: the FPs are window-edge partials and
+    split boxes.  This sampler pastes page_eval-style pages (1024x1280,
+    hard/structured renders) and cuts RANDOM-offset 512 windows with GT
+    boxes clipped per ``window_targets`` (min_overlap 0.25, the ScanSSD
+    ``gtdb_new.py`` convention) — windows holding a <25%-visible sliver
+    get formula ink but NO box, the precision-critical negatives.
+
+    Returns (windows u8 (W, 512, 512), gt (W, 8, 4), valid (W, 8)).
+    """
+    from doc2tex_tpu.detection.data import window_targets
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from page_eval import synth_labelled_page
+
+    page_style = "hard" if rng.random() < 0.5 else "structured"
+    n_regions = int(rng.integers(2, 9))
+    page, boxes, _labels = synth_labelled_page(
+        rng, n_regions=n_regions, style=page_style
+    )
+    H, W = page.shape
+    k = 8
+    info = [
+        (int(rng.integers(0, W - 512 + 1)), int(rng.integers(0, H - 512 + 1)),
+         512, 512)
+        for _ in range(k)
+    ]
+    gt, valid = window_targets(
+        np.asarray(boxes, np.float32).reshape(-1, 4), info, max_boxes=8
+    )
+    wins = np.stack([
+        page[y0 : y0 + 512, x0 : x0 + 512] for x0, y0, _, _ in info
+    ])
+    return wins, gt, valid
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=400)
@@ -88,9 +131,16 @@ def main() -> None:
     ap.add_argument("--save", default="/tmp/det_soak/last.msgpack",
                     help="checkpoint path for the trained SSD params "
                     "(exportable via tools/export_demo_weights.py)")
-    ap.add_argument("--style", default="bars", choices=["bars", "mixed"],
+    ap.add_argument("--style", default="bars",
+                    choices=["bars", "mixed", "windows"],
                     help="page region distribution (mixed = real formula "
-                    "renders, the round-4 page_eval fix)")
+                    "renders, the round-4 page_eval fix; windows = sliding-"
+                    "window crops of big pages incl. clipped-formula "
+                    "negatives, the round-5 precision fix)")
+    ap.add_argument("--neg_frac", type=float, default=0.18,
+                    help="windows style: fraction of the pool kept as "
+                    "negative windows (no valid box — background or "
+                    "sub-threshold slivers)")
     ap.add_argument("--init_from", default=None,
                     help="warm-start SSD params from a released weights "
                     "file (fine-tune instead of from-scratch)")
@@ -132,7 +182,7 @@ def main() -> None:
           f"{sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))/1e6:.1f}M",
           flush=True)
 
-    MAXB = 4
+    MAXB = 8 if args.style == "windows" else 4
     mean_px = np.asarray(MATH_GTDB_512["mean_pixel"], np.float32)
 
     # device-resident pool (tunnel: per-step uploads are the bottleneck)
@@ -140,12 +190,37 @@ def main() -> None:
     imgs = np.empty((N_POOL, 512, 512, 3), np.float32)
     gts = np.zeros((N_POOL, MAXB, 4), np.float32)
     valid = np.zeros((N_POOL, MAXB), bool)
-    for i in range(N_POOL):
-        img, boxes = synth_page(rng, style=args.style)
-        imgs[i] = np.repeat(img[..., None], 3, -1).astype(np.float32) - mean_px
-        k = min(len(boxes), MAXB)
-        gts[i, :k] = boxes[:k]
-        valid[i, :k] = True
+    if args.style == "windows":
+        n_neg_target = int(round(args.neg_frac * N_POOL))
+        n_pos = n_neg = i = 0
+        while i < N_POOL:
+            wins, wgt, wvalid = window_sample(rng)
+            for w, g, v in zip(wins, wgt, wvalid):
+                if i >= N_POOL:
+                    break
+                if v.any():
+                    if n_pos >= N_POOL - n_neg_target:
+                        continue
+                    n_pos += 1
+                else:
+                    if n_neg >= n_neg_target:
+                        continue
+                    n_neg += 1
+                imgs[i] = (np.repeat(w[..., None], 3, -1).astype(np.float32)
+                           - mean_px)
+                gts[i] = g
+                valid[i] = v
+                i += 1
+        print(f"window pool: {n_pos} positive / {n_neg} negative windows, "
+              f"{int(valid.sum())} boxes", flush=True)
+    else:
+        for i in range(N_POOL):
+            img, boxes = synth_page(rng, style=args.style)
+            imgs[i] = (np.repeat(img[..., None], 3, -1).astype(np.float32)
+                       - mean_px)
+            k = min(len(boxes), MAXB)
+            gts[i, :k] = boxes[:k]
+            valid[i, :k] = True
     t0 = time.time()
     imgs_d = jax.device_put(imgs)
     gts_d = jax.device_put(gts)
@@ -190,19 +265,41 @@ def main() -> None:
     detect = lambda v, x: detect_j(v, x, priors)
     preds, truths = [], []
     eval_rng = np.random.default_rng(99)
-    for _ in range(args.n_eval):
-        img, boxes = synth_page(eval_rng, style=args.style)
-        x = jnp.asarray(
-            (np.repeat(img[..., None], 3, -1).astype(np.float32) - mean_px)[None]
-        )
-        db, ds = detect({"params": params}, x)
-        db, ds = np.asarray(db[0]) * 512, np.asarray(ds[0])
-        keep = ds > 0.3
-        bs = np.concatenate([db[keep], ds[keep][:, None]], axis=1)
-        stitched = stitch_page(bs, (512, 512), page_image=img, thresh_votes=0.5,
-                               algorithm="max")
-        preds.append(np.asarray(stitched, np.float32).reshape(-1, 4))
-        truths.append(boxes * 512)
+    if args.style == "windows":
+        # held-out windows, scored per window (the page-level gate is
+        # tools/page_eval.py --detect_weights, which runs the full
+        # slide -> NMS -> crop -> recognize pipeline)
+        n_done = 0
+        while n_done < args.n_eval:
+            wins, wgt, wvalid = window_sample(eval_rng)
+            for w, g, v in zip(wins, wgt, wvalid):
+                if n_done >= args.n_eval:
+                    break
+                x = jnp.asarray(
+                    (np.repeat(w[..., None], 3, -1).astype(np.float32)
+                     - mean_px)[None]
+                )
+                db, ds = detect({"params": params}, x)
+                db, ds = np.asarray(db[0]) * 512, np.asarray(ds[0])
+                keep = ds > 0.3
+                preds.append(db[keep].reshape(-1, 4))
+                truths.append(np.asarray(g[v], np.float32).reshape(-1, 4) * 512)
+                n_done += 1
+    else:
+        for _ in range(args.n_eval):
+            img, boxes = synth_page(eval_rng, style=args.style)
+            x = jnp.asarray(
+                (np.repeat(img[..., None], 3, -1).astype(np.float32)
+                 - mean_px)[None]
+            )
+            db, ds = detect({"params": params}, x)
+            db, ds = np.asarray(db[0]) * 512, np.asarray(ds[0])
+            keep = ds > 0.3
+            bs = np.concatenate([db[keep], ds[keep][:, None]], axis=1)
+            stitched = stitch_page(bs, (512, 512), page_image=img,
+                                   thresh_votes=0.5, algorithm="max")
+            preds.append(np.asarray(stitched, np.float32).reshape(-1, 4))
+            truths.append(boxes * 512)
     scores = crohme_detection_scores(preds, truths)
     print("CROHME scores:", scores, flush=True)
 

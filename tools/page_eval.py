@@ -95,6 +95,9 @@ def main() -> None:
     ap.add_argument("--int8_detect", action="store_true",
                     help="int8 SSD trunk (accuracy gate for the detect "
                     "quant knob)")
+    ap.add_argument("--bf16_detect", action="store_true",
+                    help="bf16 SSD trunk compute (round-5 A/B; int8 was "
+                    "a 1.21x loss at SSD shapes)")
     ap.add_argument("--regions", default="hard",
                     choices=["hard", "structured"],
                     help="region render style (see synth_labelled_page)")
@@ -102,6 +105,13 @@ def main() -> None:
                     help="override the shipped detector weights (A/B for "
                     "a retrained detector)")
     ap.add_argument("--iou", type=float, default=0.5)
+    ap.add_argument("--conf", type=float, default=0.5,
+                    help="detector confidence threshold (sweep knob)")
+    ap.add_argument("--nms_iou", type=float, default=0.1,
+                    help="page-level NMS IoU (reference demo/app.py:152)")
+    ap.add_argument("--expand", type=float, default=0.05,
+                    help="crop box expansion fraction (reference "
+                    "demo/app.py:103-116)")
     args = ap.parse_args()
 
     import jax
@@ -126,8 +136,11 @@ def main() -> None:
                             coalesce_ratio=args.coalesce_ratio)
     app = demo_app.App(
         use_detect=True, stitch=args.stitch, recognizer=recog,
-        detect_quantize="int8" if args.int8_detect else None,
+        detect_quantize=("int8" if args.int8_detect
+                         else "bf16" if args.bf16_detect else None),
         detect_weights=args.detect_weights,
+        conf_thresh=args.conf, nms_iou=args.nms_iou,
+        expand_frac=args.expand,
     )
 
     rng = np.random.default_rng(EVAL_SEED)
@@ -184,32 +197,63 @@ def main() -> None:
         sum(get_single_ED(g, p) for p, g in zip(preds, gts)) / n_match
         if n_match else 0.0
     )
+    # Wilson 95% CIs (VERDICT r4 #6: page metric at release-grade n needs
+    # interval discipline; deltas are quoted only when outside these)
+    import math
+
+    def wilson(k, n, z=1.96):
+        if n == 0:
+            return (0.0, 1.0)
+        p = k / n
+        denom = 1 + z * z / n
+        center = (p + z * z / (2 * n)) / denom
+        half = z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n)) / denom
+        return (round(center - half, 4), round(center + half, 4))
+
     out = {
         "version": args.version, "pages": args.pages, "gt_regions": n_gt,
         "stitch": bool(args.stitch), "beam": recog.beam_size,
         "quantize": cfg.get("quantize"),
         "coalesce_ratio": recog.coalesce_ratio, "iou_thresh": args.iou,
-        "det_precision": round(prec, 4), "det_recall": round(rec, 4),
+        "conf_thresh": args.conf, "nms_iou": args.nms_iou,
+        "expand_frac": args.expand,
+        "detect_quantize": ("int8" if args.int8_detect
+                            else "bf16" if args.bf16_detect else None),
+        "det_precision": round(prec, 4),
+        "det_precision_ci": wilson(tp, tp + fp),
+        "det_recall": round(rec, 4),
+        "det_recall_ci": wilson(tp, tp + fn),
         "det_f1": round(f1, 4),
         "em_matched": round(em_matched, 4),
+        "em_matched_ci": wilson(correct, n_match),
         "char_matched": round(char_match, 4),
         "end_to_end_acc": round(correct / max(n_gt, 1), 4),
+        "end_to_end_ci": wilson(correct, n_gt),
         "detect_s_per_page": round(t_detect / args.pages, 3),
         "recog_s_per_page": round(t_recog / args.pages, 3),
         "seed": EVAL_SEED,
     }
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "page_eval_r04.json")
+                        "page_eval_r05.json")
     merged = {}
     if os.path.exists(path):
         with open(path) as f:
             merged = json.load(f)
     out["regions"] = args.regions
+    # ADVICE r4: the key carries EVERY non-default knob (beam/iou/pages
+    # included) so reruns can't silently overwrite a different arm
     key = args.version + ("_stitch" if args.stitch else "") + (
         f"_co{args.coalesce_ratio:g}" if args.coalesce_ratio else "") + (
         f"_{args.regions}" if args.regions != "hard" else "") + (
         "_int8det" if args.int8_detect else "") + (
-        "_customdet" if args.detect_weights else "")
+        "_bf16det" if args.bf16_detect else "") + (
+        "_customdet" if args.detect_weights else "") + (
+        f"_beam{args.beam}" if args.beam is not None else "") + (
+        f"_iou{args.iou:g}" if args.iou != 0.5 else "") + (
+        f"_p{args.pages}" if args.pages != 100 else "") + (
+        f"_conf{args.conf:g}" if args.conf != 0.5 else "") + (
+        f"_nms{args.nms_iou:g}" if args.nms_iou != 0.1 else "") + (
+        f"_ex{args.expand:g}" if args.expand != 0.05 else "")
     merged[key] = out
     with open(path, "w") as f:
         json.dump(merged, f, indent=1, sort_keys=True)

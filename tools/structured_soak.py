@@ -152,6 +152,12 @@ def main() -> None:
                     "--big): 448x960 canvases, batch_max_length 500, "
                     "50/50 multi-line long + flat hard samples — the "
                     "reference eval contract's missing axis")
+    ap.add_argument("--overpad_prob", type=float, default=0.0,
+                    help="pad-invariance augmentation: probability a train "
+                    "sample is promoted to a larger ladder bucket (round-5 "
+                    "coalescing fix; see data/buckets.py plan_buckets)")
+    ap.add_argument("--overpad_ratio", type=float, default=4.0,
+                    help="max area ratio for the promoted bucket")
     ap.add_argument("--lr", type=float, default=None,
                     help="override the arm's base lr (fine-tunes from "
                     "released weights want ~1e-4, not the from-scratch lr)")
@@ -197,6 +203,9 @@ def main() -> None:
     if args.lr is not None:
         cfg["optimizer"]["lr"] = args.lr
         cfg["min_lr"] = min(cfg.get("min_lr", args.lr), args.lr / 5)
+    if args.overpad_prob > 0:
+        cfg["overpad_prob"] = args.overpad_prob
+        cfg["overpad_ratio"] = args.overpad_ratio
     if args.long:
         from doc2tex_tpu.data.synthetic import (
             hard_vocab, synth_hard_dataset, synth_long_dataset,

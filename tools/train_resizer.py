@@ -69,6 +69,12 @@ def build_dataset(n, seed, scale_lo=0.4, scale_hi=2.5):
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=3000)
+    ap.add_argument("--ordinal_tau", type=float, default=0.7,
+                    help="Gaussian soft-target width (in buckets) for the "
+                    "ordinal loss; 0 = plain one-hot CE (the round-4 "
+                    "recipe).  Width buckets are ORDERED — penalizing a "
+                    "±1 miss like a ±8 miss wastes the structure "
+                    "(round-5 resizer v2)")
     ap.add_argument("--n_train", type=int, default=8192)
     ap.add_argument("--n_eval", type=int, default=512)
     ap.add_argument("--batch", type=int, default=256)
@@ -121,7 +127,15 @@ def main() -> None:
                 {"params": p, "batch_stats": batch_stats}, x, train=True,
                 mutable=["batch_stats"],
             )
-            ls = optax.softmax_cross_entropy_with_integer_labels(logits, y)
+            if args.ordinal_tau > 0:
+                # ordinal soft targets: Gaussian over bucket distance
+                d = (jnp.arange(N_BUCKETS)[None, :]
+                     - y[:, None]).astype(jnp.float32)
+                t = jax.nn.softmax(-(d * d) / (2 * args.ordinal_tau ** 2), -1)
+                ls = optax.softmax_cross_entropy(logits, t)
+            else:
+                ls = optax.softmax_cross_entropy_with_integer_labels(
+                    logits, y)
             return ls.mean(), upd["batch_stats"]
 
         (loss, new_stats), grads = jax.value_and_grad(
@@ -224,8 +238,10 @@ def main() -> None:
         print(f"A/B: native {em_native:.4f} | 2x plain {em_plain:.4f} | "
               f"2x + resizer {em_resized:.4f}", flush=True)
 
+    result["ordinal_tau"] = args.ordinal_tau
+    result["steps"] = args.steps
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "resizer_eval_r04.json")
+                        "resizer_eval_r05.json")
     with open(path, "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps(result))
