@@ -356,3 +356,56 @@ class TestDeviceWindows:
             assert (boxes[:, 1::2] <= 600).all()
             assert (boxes[:, 2] - boxes[:, 0] >= 2).all()
             assert (boxes[:, 3] - boxes[:, 1] >= 2).all()
+
+
+class TestWindowSampleSoak:
+    """Round-5 windows-style soak sampler: training windows must match
+    the inference distribution (clipped boxes, sliver negatives)."""
+
+    def test_window_sample_contract(self):
+        import os
+        import sys
+
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tools"))
+        from detection_soak import window_sample
+
+        rng = np.random.default_rng(7)
+        n_pos = n_neg = 0
+        for _ in range(4):
+            wins, gt, valid = window_sample(rng)
+            assert wins.shape == (8, 512, 512) and wins.dtype == np.uint8
+            assert gt.shape == (8, 8, 4) and valid.shape == (8, 8)
+            gv = gt[valid]
+            if len(gv):
+                # normalized, well-formed corner boxes
+                assert (gv >= 0).all() and (gv <= 1).all()
+                assert (gv[:, 2] > gv[:, 0]).all()
+                assert (gv[:, 3] > gv[:, 1]).all()
+            for w, v in zip(wins, valid):
+                if v.any():
+                    n_pos += 1
+                    assert (w < 200).any()  # a positive window holds ink
+                else:
+                    n_neg += 1
+        # random offsets over 2-8-region pages give BOTH kinds
+        assert n_pos > 0 and n_neg > 0
+
+    def test_expand_frac_knob_reaches_detect_page(self):
+        """MathDetector(expand_frac=) must change the returned boxes (the
+        round-5 framing sweep knob)."""
+        from doc2tex_tpu.detection.flow import MathDetector
+
+        page = np.full((512, 512), 255, np.uint8)
+        page[100:150, 60:300] = 0
+        d0 = MathDetector(conf_thresh=0.0, expand_frac=0.0, seed=3)
+        d1 = MathDetector(
+            variables=d0.variables, conf_thresh=0.0, expand_frac=0.2)
+        b0, s0 = d0.detect_page(page)
+        b1, s1 = d1.detect_page(page)
+        assert len(b0) and len(b1)
+        np.testing.assert_array_equal(s0, s1)
+        w0 = b0[:, 2] - b0[:, 0]
+        w1 = b1[:, 2] - b1[:, 0]
+        assert (w1 >= w0).all() and (w1 > w0).any()
