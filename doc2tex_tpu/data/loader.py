@@ -180,6 +180,24 @@ class BucketLoader:
                 img = geometry_transform(img, rng)
         h = min(img.shape[0], bucket[0])
         w = min(img.shape[1], bucket[1])
+        # pad_jitter (round 5): random top/left white margin before the
+        # top-left-anchored bucket pad.  Detector crops arrive with
+        # expansion margins on ALL sides (demo/app.py crop expansion) and
+        # coalesced serving crops sit inside larger buckets; the flat
+        # pos-embed only ever saw ink at (0, 0) — page_eval's oracle arm
+        # measured that margin alone at -13 EM pts.  Train-time jitter
+        # teaches margin invariance; eval/serving stay deterministic.
+        jit = int(self.config.get("pad_jitter", 0) or 0) if self.train else 0
+        if jit > 0:
+            jr = np.random.default_rng(
+                aug_seed if aug_seed is not None else 9176 + i
+            )
+            top = int(jr.integers(0, min(jit, bucket[0] - h) + 1))
+            left = int(jr.integers(0, min(jit, bucket[1] - w) + 1))
+            if top or left:
+                img = np.pad(img[:h, :w], ((top, 0), (left, 0)),
+                             constant_values=255)
+                h, w = img.shape[:2]
         return pad_to_bucket(img[:h, :w], bucket)
 
     def _assemble(self, bucket: tuple[int, int], idxs: list[int]) -> Batch:

@@ -105,6 +105,11 @@ def main() -> None:
                     help="override the shipped detector weights (A/B for "
                     "a retrained detector)")
     ap.add_argument("--iou", type=float, default=0.5)
+    ap.add_argument("--oracle_boxes", action="store_true",
+                    help="use GT boxes as detections (skip the SSD): "
+                    "isolates recognition-on-crops from detection — the "
+                    "EM ceiling a perfect detector would reach, including "
+                    "the --expand margin effect")
     ap.add_argument("--conf", type=float, default=0.5,
                     help="detector confidence threshold (sweep knob)")
     ap.add_argument("--nms_iou", type=float, default=0.1,
@@ -159,7 +164,17 @@ def main() -> None:
     t_detect = t_recog = 0.0
     for pi, (page, gt_boxes, gt_labels) in enumerate(pages):
         t0 = time.time()
-        det_boxes, crops = app.detect_and_crop(page)
+        if args.oracle_boxes:
+            from doc2tex_tpu.detection.windows import expand_boxes
+
+            det_boxes = expand_boxes(
+                np.asarray(gt_boxes, np.float32).reshape(-1, 4),
+                page.shape[:2], frac=args.expand,
+            )
+            crops = app.detector.crop_regions(page, det_boxes)
+            det_boxes = [tuple(int(round(v)) for v in b) for b in det_boxes]
+        else:
+            det_boxes, crops = app.detect_and_crop(page)
         t_detect += time.time() - t0
         t0 = time.time()
         latexes = recog(crops) if crops else []
@@ -219,6 +234,7 @@ def main() -> None:
         "expand_frac": args.expand,
         "detect_quantize": ("int8" if args.int8_detect
                             else "bf16" if args.bf16_detect else None),
+        "oracle_boxes": bool(args.oracle_boxes),
         "det_precision": round(prec, 4),
         "det_precision_ci": wilson(tp, tp + fp),
         "det_recall": round(rec, 4),
@@ -248,6 +264,7 @@ def main() -> None:
         "_int8det" if args.int8_detect else "") + (
         "_bf16det" if args.bf16_detect else "") + (
         "_customdet" if args.detect_weights else "") + (
+        "_oracle" if args.oracle_boxes else "") + (
         f"_beam{args.beam}" if args.beam is not None else "") + (
         f"_iou{args.iou:g}" if args.iou != 0.5 else "") + (
         f"_p{args.pages}" if args.pages != 100 else "") + (

@@ -158,6 +158,10 @@ def main() -> None:
                     "coalescing fix; see data/buckets.py plan_buckets)")
     ap.add_argument("--overpad_ratio", type=float, default=4.0,
                     help="max area ratio for the promoted bucket")
+    ap.add_argument("--pad_jitter", type=int, default=0,
+                    help="random top/left white margin (px) before the "
+                    "bucket pad — margin invariance for detector-crop "
+                    "expansion + coalescing (round 5; see loader.py)")
     ap.add_argument("--lr", type=float, default=None,
                     help="override the arm's base lr (fine-tunes from "
                     "released weights want ~1e-4, not the from-scratch lr)")
@@ -206,6 +210,8 @@ def main() -> None:
     if args.overpad_prob > 0:
         cfg["overpad_prob"] = args.overpad_prob
         cfg["overpad_ratio"] = args.overpad_ratio
+    if args.pad_jitter > 0:
+        cfg["pad_jitter"] = args.pad_jitter
     if args.long:
         from doc2tex_tpu.data.synthetic import (
             hard_vocab, synth_hard_dataset, synth_long_dataset,
@@ -344,7 +350,9 @@ def main() -> None:
         state, key, loss = pool_step(state, key, p.images, p.text)
         pending = loss
         it += 1
-        if it % 500 == 0:
+        # 100-step cadence: on congested tunnel days the sync is the only
+        # liveness signal that separates a crawl from a wedged device
+        if it % 100 == 0:
             lv = float(pending)  # sync point
             rate = (it - start) / max(time.time() - t0, 1e-9)
             print(f"[{it}] loss {lv:.4f} ({rate:.1f} steps/s)", flush=True)
