@@ -40,6 +40,9 @@ def main() -> None:
     ap.add_argument("--beam", type=int, default=None,
                     help="override the version block's beam (demo contract "
                     "is 10)")
+    ap.add_argument("--weights", default=None,
+                    help="override the version block's weights file (gate "
+                    "a fine-tuned checkpoint before shipping)")
     args = ap.parse_args()
 
     import jax
@@ -67,6 +70,8 @@ def main() -> None:
     images, labels = synth_hard_dataset(args.n, seed=EVAL_SEED, **kw)
     gts = [postprocess_prediction(l) for l in labels]
 
+    if args.weights:
+        weights = args.weights
     recog = MathRecognition(cfg, weights_path=weights, beam_size=args.beam)
     n_calls = [0]
     real = recog._decode_fn()
@@ -113,13 +118,14 @@ def main() -> None:
     out = {"version": args.version, "n": len(gts), "beam": recog.beam_size,
            "quantize": cfg.get("quantize"), "chunk": args.chunk,
            "seed": EVAL_SEED, "rows": rows}
+    out["weights_override"] = args.weights
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "coalesce_eval_r04.json")
+                        "coalesce_eval_r05.json")
     merged = {}
     if os.path.exists(path):
         with open(path) as f:
             merged = json.load(f)
-    merged[args.version] = out
+    merged[args.version + ("_ft" if args.weights else "")] = out
     with open(path, "w") as f:
         json.dump(merged, f, indent=1, sort_keys=True)
     print(json.dumps(out))

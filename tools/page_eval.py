@@ -101,6 +101,9 @@ def main() -> None:
     ap.add_argument("--regions", default="hard",
                     choices=["hard", "structured"],
                     help="region render style (see synth_labelled_page)")
+    ap.add_argument("--recog_weights", default=None,
+                    help="override the version block's recognizer weights "
+                    "(gate a fine-tuned checkpoint before shipping)")
     ap.add_argument("--detect_weights", default=None,
                     help="override the shipped detector weights (A/B for "
                     "a retrained detector)")
@@ -137,6 +140,8 @@ def main() -> None:
     from doc2tex_tpu.eval.metrics import get_single_ED
 
     cfg, weights = load_recog_config(version=args.version)
+    if args.recog_weights:
+        weights = args.recog_weights
     recog = MathRecognition(cfg, weights_path=weights, beam_size=args.beam,
                             coalesce_ratio=args.coalesce_ratio)
     app = demo_app.App(
@@ -265,6 +270,7 @@ def main() -> None:
         "_bf16det" if args.bf16_detect else "") + (
         "_customdet" if args.detect_weights else "") + (
         "_oracle" if args.oracle_boxes else "") + (
+        "_ftrecog" if args.recog_weights else "") + (
         f"_beam{args.beam}" if args.beam is not None else "") + (
         f"_iou{args.iou:g}" if args.iou != 0.5 else "") + (
         f"_p{args.pages}" if args.pages != 100 else "") + (
