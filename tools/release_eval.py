@@ -32,7 +32,7 @@ import jax
 from structured_soak import build
 
 OUT_PATH = os.path.join(
-    os.path.dirname(os.path.abspath(__file__)), "release_eval_r04.json"
+    os.path.dirname(os.path.abspath(__file__)), "release_eval_r05.json"
 )
 # fresh held-out seed: train=31, curve evals=32 (structured_soak.py) — 33
 # has never been drawn by any training or eval arm
@@ -69,6 +69,9 @@ def main() -> None:
         else "synthetic" if args.family == "attn"
         else "synthetic_tfm_big" if args.big else "synthetic_tfm"
     )
+    if args.weights:
+        # override runs must not overwrite the shipped release's record
+        version += "_w:" + os.path.basename(os.path.dirname(args.weights))
     if args.long:
         args.family, args.big = "tfm", True
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
